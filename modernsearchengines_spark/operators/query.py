@@ -1,0 +1,174 @@
+"""BM25 top-k query engine (SURVEY.md §3.2 rebuild lifecycle).
+
+One Spark job ranks the whole query batch (not one job per query): compiled
+query terms become a small DataFrame that is BROADCAST against the bucketed
+postings table (O-24 — the core retrieval join; with Iceberg this is
+bucket-pruned on term, with the Parquet stand-in the ``term_bucket`` filter
+prunes partitions), then per-(qnum, doc) hash aggregation applies the
+reference weight ladder (Q13), +100 Tübingen boost, ``s·log1p(m)``,
+query-scoped min-max normalizations (Q8/Q11 — per-query window aggregates),
+the min-span proximity UDF (O-53), the α=0.8 blend, and a per-query window
+top-k with deterministic (−score, doc_id) tie order (Q16 decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .expansion import TUEBINGEN_TERMS, CompiledQuery, compile_query
+from .indexer import DEFAULT_TERM_BUCKETS
+from .proximity import min_span_score_udf
+
+ALPHA = 0.8
+TOP_K = 100
+BOOST = 100.0
+
+# Q13 weight ladder (reference retrieval.py:233-251).
+#   original ∧ tueb     → 0.5·bm25, match +0.2
+#   original ∧ ¬tueb    → 6.0·bm25, match +1.0
+#   ¬original ∧ tueb    → 0.5·bm25, match +0.0
+#   ¬original ∧ ¬tueb   → 4.0·bm25, match +0.5
+
+
+def query_terms_df(
+    spark: SparkSession,
+    queries: list[CompiledQuery],
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Flatten compiled queries into (qnum, term, is_original, is_tueb,
+    term_bucket) rows — the broadcast side of the retrieval join."""
+    tueb = set(TUEBINGEN_TERMS)
+    rows = []
+    for q in queries:
+        originals = set(q.original_terms)
+        for term in q.terms:
+            rows.append((q.qnum, term, term in originals, term in tueb))
+    df = spark.createDataFrame(
+        rows, "qnum int, term string, is_original boolean, is_tueb boolean"
+    )
+    return df.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    )
+
+
+def _minmax_over(col: str, part: str = "qnum"):
+    w = Window.partitionBy(part)
+    return F.min(col).over(w), F.max(col).over(w)
+
+
+def rank(
+    postings: DataFrame,
+    terms: DataFrame,
+    doc_stats: DataFrame,
+    top_k: int = TOP_K,
+    alpha: float = ALPHA,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Rank the query batch → (qnum, rank, doc_id, url, score, bm25_sum,
+    match_count).
+
+    ``prefilter`` (optional) is a (qnum, doc_id) DataFrame from the block-max
+    WAND stage (wand.py) restricting exact scoring to surviving candidates.
+    """
+    # O-24: broadcast-hash equi join, bucket-pruned on term_bucket.
+    matched = postings.join(
+        F.broadcast(terms), ["term_bucket", "term"], "inner"
+    ).select("qnum", "term", "doc_id", "bm25", "positions", "is_original", "is_tueb")
+    if prefilter is not None:
+        matched = matched.join(prefilter, ["qnum", "doc_id"], "left_semi")
+
+    # Q8: min-max normalize ALL fetched bm25 values per query; silently
+    # skipped when max == min (reference retrieval.py:58-67).
+    lo, hi = _minmax_over("bm25")
+    matched = matched.withColumn(
+        "nbm25",
+        F.when(hi > lo, (F.col("bm25") - lo) / (hi - lo)).otherwise(F.col("bm25")),
+    )
+
+    w_col = (
+        F.when(F.col("is_tueb"), 0.5)
+        .when(F.col("is_original"), 6.0)
+        .otherwise(4.0)
+    )
+    mw_col = (
+        F.when(F.col("is_original") & F.col("is_tueb"), 0.2)
+        .when(F.col("is_original"), 1.0)
+        .when(F.col("is_tueb"), 0.0)
+        .otherwise(0.5)
+    )
+
+    per_doc = (
+        matched.withColumn("w_bm25", w_col * F.col("nbm25"))
+        .withColumn("mw", mw_col)
+        .groupBy("qnum", "doc_id")
+        .agg(
+            F.sum("w_bm25").alias("s_raw"),
+            F.sum("mw").alias("match_count"),
+            F.max(F.col("is_tueb").cast("int")).alias("has_tueb"),
+            # Positions only for original-query terms (Q13 tail note).
+            F.collect_list(
+                F.when(F.col("is_original"), F.col("positions"))
+            ).alias("prox_lists"),
+        )
+        .withColumn(
+            "bm25_sum",
+            F.col("s_raw") + F.when(F.col("has_tueb") == 1, BOOST).otherwise(0.0),
+        )
+        .withColumn("combined", F.col("bm25_sum") * F.log1p("match_count"))
+    )
+
+    # Q11: per-query min-max; all-equal → 0.0 (both normalization sites).
+    clo, chi = _minmax_over("combined")
+    per_doc = per_doc.withColumn(
+        "norm_combined",
+        F.when(chi == clo, 0.0).otherwise(
+            (F.col("combined") - clo) / (chi - clo)
+        ),
+    )
+    per_doc = per_doc.withColumn("prox", min_span_score_udf("prox_lists"))
+    plo, phi = _minmax_over("prox")
+    per_doc = per_doc.withColumn(
+        "norm_prox",
+        F.when(phi == plo, 0.0).otherwise((F.col("prox") - plo) / (phi - plo)),
+    )
+    per_doc = per_doc.withColumn(
+        "score", alpha * F.col("norm_combined") + (1 - alpha) * F.col("norm_prox")
+    )
+
+    # O-47/O-49: per-query top-k, total order (−score, doc_id) (Q16).
+    w_rank = Window.partitionBy("qnum").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        per_doc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select("qnum", "rank", "doc_id", "score", "bm25_sum", "match_count")
+    )
+
+    # O-27: hydration join — top-k side is tiny, broadcast it.
+    return (
+        doc_stats.select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id")
+        .select("qnum", "rank", "doc_id", "url", "score", "bm25_sum", "match_count")
+        .orderBy("qnum", "rank")
+    )
+
+
+def run_query_batch(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    queries: list[tuple[int, str]],
+    top_k: int = TOP_K,
+    expansion: dict[str, list[str]] | None = None,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    compiled = [compile_query(qnum, text, expansion) for qnum, text in queries]
+    terms = query_terms_df(spark, compiled, term_buckets)
+    return rank(index["postings"], terms, index["doc_stats"], top_k=top_k)
+
+
+def format_batch_results(results: DataFrame) -> DataFrame:
+    """Reference batch sink shape: qnum, rank, url, score as %.3f string
+    (O-5, reference retrieval.py:324-331)."""
+    return results.select(
+        "qnum", "rank", "url", F.format_number("score", 3).alias("score")
+    )

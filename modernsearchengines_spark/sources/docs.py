@@ -32,13 +32,9 @@ REFERENCE_QUERIES: list[tuple[int, str]] = [
     (2, "food and drinks"),
 ]
 
-# Reference tuebingen_terms (reference retrieval.py:25) — scoring constants,
-# not code: the 16-entry boost vocabulary every query is expanded with (Q14).
-TUEBINGEN_TERMS: list[str] = [
-    "tuebingen", "tuebing", "hohentuebingen", "waldhaeus", "oesterberg",
-    "derendingen", "derending", "lustnau", "lustnauer", "pfrondorf",
-    "wilhelmstr", "wilhelmstrass", "72070", "72072", "72074", "72076",
-]
+# Reference tuebingen_terms (retrieval.py:25) — single source of truth lives
+# in operators.expansion; re-exported here for fixture generation.
+from ..operators.expansion import TUEBINGEN_TERMS  # noqa: E402
 
 _BASE_WORDS = [
     "attraction", "attractions", "castle", "museum", "river", "punt", "tour",

@@ -18,17 +18,17 @@ oracle keys positions correctly (documented decision, SURVEY.md Q7).
 from __future__ import annotations
 
 import math
-import string
 from collections import defaultdict
 from dataclasses import dataclass, field
 
 from modernsearchengines_spark.functions.simhash import simhash64
-from modernsearchengines_spark.functions.tokenizer import (
-    STOPWORDS,
-    tokenize,
-    url_to_words,
+from modernsearchengines_spark.functions.tokenizer import tokenize, url_to_words
+from modernsearchengines_spark.operators.expansion import (
+    TUEBINGEN_TERMS,
+    compile_query as _compile_query,
+    preprocess_query,  # noqa: F401  (re-exported for tests)
+    spellcheck,  # noqa: F401
 )
-from modernsearchengines_spark.sources.docs import TUEBINGEN_TERMS
 
 K1 = 1.5
 B = 0.75
@@ -36,33 +36,6 @@ ALPHA = 0.8
 MAX_DOC_CHARS = 800_000
 DF_PRUNE = 5
 TOP_K = 100
-
-# Query-side constant sets (reference retrieval.py:126,156-157).
-WORDS_TO_FILTER = {
-    "good", "nice", "okay", "sensible", "popular", "frequented", "recommend",
-    "recommended", "competent",
-}
-EXPANSION_SKIP = WORDS_TO_FILTER | {
-    "tübingen", "renowned", "bad", "unpleasant", "pleasant",
-}
-
-# Frozen query-expansion fixture (stands in for BERT fill-mask, O-80/R3).
-EXPANSION_FIXTURE: dict[str, list[str]] = {
-    "attractions": ["museum", "castle", "tour", "sight", "landmark"],
-    "attraction": ["museum", "castle", "tour"],
-    "food": ["restaurant", "meal", "cuisine", "dish", "bakery"],
-    "drinks": ["beer", "wine", "coffee", "bar"],
-    "castle": ["fortress", "palace"],
-    "river": ["neckar", "water"],
-}
-
-# Frozen spellcheck fixture (stands in for pyspellchecker, O-77/R3).
-SPELLCHECK_FIXTURE: dict[str, str] = {
-    "tubingen": "tübingen",
-    "atractions": "attractions",
-    "restuarant": "restaurant",
-    "fod": "food",
-}
 
 
 def clean_corpus(rows: list[dict]) -> list[dict]:
@@ -126,46 +99,16 @@ def build_index(clean_rows: list[dict]) -> OracleIndex:
     return idx
 
 
-def preprocess_query(text: str) -> str:
-    """Lower + stopword/punctuation strip with non-empty fallback
-    (reference retrieval.py:120-144 semantics, deterministic sorted order)."""
-    punct = set(string.punctuation)
-    words = text.split()
-    filtered = {
-        w.lower().strip(string.punctuation)
-        for w in words
-        if w.lower() not in STOPWORDS and w not in punct and w.lower()
-    }
-    filtered.discard("")
-    better = {w for w in filtered if w not in WORDS_TO_FILTER}
-    chosen = filtered if not better else better
-    return " ".join(sorted(chosen))
-
-
-def spellcheck(text: str) -> str:
-    return " ".join(SPELLCHECK_FIXTURE.get(w, w) for w in text.split())
-
-
 def compile_query(text: str) -> tuple[list[str], list[str]]:
     """→ (query_terms ordered unique stems, original_query stems).
 
-    Mirrors query_processing (reference retrieval.py:146-175) with the frozen
-    expansion fixture: preprocess → +tuebingen_terms (Q14) → ≤ max(0, 9−|q|)
-    synonyms per eligible term → re-filter → unique-first tokenize (Q15).
+    Query compilation is deliberately the SAME code path as the engine
+    (modernsearchengines_spark.operators.expansion — SURVEY O-78 'identical
+    code path as oracle'); the oracle's independent reimplementation covers
+    the index build and ranking math below.
     """
-    pre = preprocess_query(text)
-    words = pre.split()
-    n_syn = max(0, 9 - len(words))
-    extended = set(words) | set(TUEBINGEN_TERMS)
-    if n_syn > 0:
-        for w in words + TUEBINGEN_TERMS:
-            if w in EXPANSION_SKIP or w in TUEBINGEN_TERMS:
-                continue
-            extended.update(EXPANSION_FIXTURE.get(w, [])[:n_syn])
-    extended_query = preprocess_query(" ".join(sorted(extended)))
-    terms = [t for t, _ in tokenize(extended_query, only_unique_tokens=True)]
-    original = [t for t, _ in tokenize(pre, only_unique_tokens=True)]
-    return terms, original
+    cq = _compile_query(0, text)
+    return list(cq.terms), list(cq.original_terms)
 
 
 def min_span_proximity(lists: list[list[int]]) -> float:

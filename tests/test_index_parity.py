@@ -1,0 +1,111 @@
+"""Integration: Spark index build vs oracle index (SURVEY §5.2 item 4).
+
+Asserts df, tf, positions (exact) and BM25 (1e-9) per (term, doc_id), plus
+corpus stats, doc-id assignment, cleaning, and the extraction invariant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import oracle
+from modernsearchengines_spark.operators import indexer
+from modernsearchengines_spark.operators.codec import varbyte_decode
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus_rows):
+    return oracle.build_index(oracle.clean_corpus(corpus_rows))
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, docs_df):
+    clean = indexer.clean_docs(docs_df)
+    return indexer.build_index(spark, clean)
+
+
+def test_extraction_invariant_byte_identical(spark, docs_df):
+    """BASELINE.json input_hint: engine-derived text == given text, per url."""
+    derived = docs_df.withColumn("derived", indexer.extract_text_udf("html"))
+    mismatches = derived.filter(
+        ~F.col("derived").eqNullSafe(F.col("text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_clean_corpus_matches_oracle(spark, docs_df, corpus_rows):
+    clean_urls = {
+        r.url for r in indexer.clean_docs(docs_df).select("url").collect()
+    }
+    oracle_urls = {r["url"] for r in oracle.clean_corpus(corpus_rows)}
+    assert clean_urls == oracle_urls
+
+
+def test_doc_ids_dense_over_url(spark, docs_df):
+    ids = indexer.assign_doc_ids(indexer.clean_docs(docs_df)).select(
+        "doc_id", "url"
+    )
+    rows = sorted(ids.collect(), key=lambda r: r.url)
+    assert [r.doc_id for r in rows] == list(range(len(rows)))
+
+
+def test_corpus_stats_match(spark_index, oracle_index):
+    stats = spark_index["corpus_stats"].collect()[0]
+    assert stats.n_docs == oracle_index.n_docs
+    assert math.isclose(
+        stats.avg_doc_len, oracle_index.avg_doc_len, rel_tol=0, abs_tol=1e-9
+    )
+
+
+def test_doc_lengths_match(spark_index, oracle_index):
+    got = {
+        r.doc_id: r.doc_len for r in spark_index["doc_stats"].collect()
+    }
+    assert got == oracle_index.doc_lengths
+
+
+def test_postings_match_oracle(spark_index, oracle_index):
+    rows = spark_index["postings"].select(
+        "term", "doc_id", "tf", "df", "positions", "positions_vb", "bm25"
+    ).collect()
+    got = {(r.term, r.doc_id): r for r in rows}
+    expected = {
+        (term, doc_id): (bm25, positions)
+        for term, docs in oracle_index.postings.items()
+        for doc_id, (bm25, positions) in docs.items()
+    }
+    assert set(got) == set(expected)
+    for key, row in got.items():
+        exp_bm25, exp_positions = expected[key]
+        assert row.positions == exp_positions, key
+        assert row.tf == len(exp_positions), key
+        assert row.df == len(oracle_index.postings[key[0]]), key
+        assert math.isclose(row.bm25, exp_bm25, rel_tol=0, abs_tol=1e-9), key
+        # codec: stored binary decodes to the sorted position set
+        assert varbyte_decode(bytes(row.positions_vb)) == sorted(exp_positions)
+
+
+def test_df_prune_applied(spark_index):
+    """Q6: persisted index has no term with df ≤ 5."""
+    assert spark_index["postings"].filter(F.col("df") <= 5).count() == 0
+
+
+def test_block_max_consistency(spark_index):
+    bad = (
+        spark_index["postings"]
+        .groupBy("term", "block_id")
+        .agg(
+            F.max("bm25").alias("m"),
+            F.first("block_max_bm25").alias("stored"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(
+            (F.abs(F.col("m") - F.col("stored")) > 1e-12)
+            | (F.col("n") > indexer.DEFAULT_BLOCK_SIZE)
+        )
+        .count()
+    )
+    assert bad == 0

@@ -1,0 +1,221 @@
+"""Checkpointed, resumable segment builds with per-partition lineage
+(BASELINE.json north_rule; reference analogue: the crawler's pickle
+checkpoint at /root/reference/WebCrawler_basis.py:13-24).
+
+The corpus is split into ``n_segments`` deterministic url-hash segments.
+Each segment's RAW postings (term, doc_id, tf, positions — no corpus-global
+stats yet) and doc stats are built and committed independently; a
+``_segments`` manifest row records lineage + metrics (n_docs, n_tokens,
+n_postings, wall_ms, status).  A crashed build resumes by skipping segments
+whose manifest row is ``done`` — the anti-join resume of SURVEY O-14.
+
+The merge step (global N, avg_doc_len, df, IDF, BM25, df>5 prune, blocks)
+runs over the union of segment outputs.  Global stats CANNOT be finalized
+per-segment (Q2/Q3: N and avg span the whole corpus), which is exactly why
+the reference's single-shot design doesn't scale and the rebuild separates
+raw-posting construction (resumable, embarrassingly parallel) from the
+cheap stats finalization pass.
+
+Target layout is an Iceberg ``_segments`` table + snapshot per segment; in
+this sandbox each segment is a Parquet directory plus a JSON manifest file
+per segment (atomic rename), which gives the same observable resume
+protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import indexer
+
+MANIFEST_DIR = "_segments"
+
+
+def segment_of(url_col, n_segments: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_segments)).cast("int")
+
+
+def _manifest_path(out_dir: str, seg: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"segment-{seg:05d}.json")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                row = json.load(fh)
+            out[row["segment_id"]] = row
+    return out
+
+
+def build_segments(
+    spark: SparkSession,
+    docs_with_ids: DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    fail_after: int | None = None,
+) -> list[dict]:
+    """Build raw posting segments, committing one manifest row per segment.
+
+    ``fail_after`` aborts after that many segments (crash-injection for the
+    resume test).  Returns the manifest rows written this run.
+    """
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    done = {
+        seg for seg, row in read_manifest(out_dir).items()
+        if row["status"] == "done"
+    }
+    docs = docs_with_ids.withColumn("_seg", segment_of(F.col("url"), n_segments))
+    written: list[dict] = []
+    built = 0
+    for seg in range(n_segments):
+        if seg in done:  # resume: anti-join against completed lineage
+            continue
+        if fail_after is not None and built >= fail_after:
+            break
+        t0 = time.time()
+        seg_docs = docs.filter(F.col("_seg") == seg)
+        n_docs = seg_docs.count()
+        indexable = seg_docs.filter(F.length("text") <= indexer.MAX_DOC_CHARS)
+        tokens = indexer.tokenize_docs(indexable)
+        doc_stats = tokens.groupBy("doc_id").agg(
+            F.count("term").alias("doc_len"),
+            F.first("aug_len").alias("aug_len"),
+        ).join(seg_docs.select("doc_id", "url", "warc_ts"), "doc_id")
+        postings_raw = tokens.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_idx", "pos"))),
+                lambda s: s["pos"],
+            ).alias("positions"),
+        ).filter(F.col("term").isNotNull())
+        postings_raw.write.mode("overwrite").parquet(
+            f"{out_dir}/raw_postings/segment={seg}"
+        )
+        doc_stats.write.mode("overwrite").parquet(
+            f"{out_dir}/seg_doc_stats/segment={seg}"
+        )
+        stats = spark.read.parquet(
+            f"{out_dir}/raw_postings/segment={seg}"
+        ).agg(
+            F.count(F.lit(1)).alias("n_postings"), F.sum("tf").alias("n_tokens")
+        ).collect()[0]
+        row = {
+            "segment_id": seg,
+            "n_docs": n_docs,
+            "n_tokens": int(stats.n_tokens or 0),
+            "n_postings": int(stats.n_postings or 0),
+            "wall_ms": int((time.time() - t0) * 1000),
+            "status": "done",
+            "input_fingerprint": n_docs,
+        }
+        tmp = _manifest_path(out_dir, seg) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(row, fh)
+        os.replace(tmp, _manifest_path(out_dir, seg))  # atomic commit
+        written.append(row)
+        built += 1
+    return written
+
+
+def merge_segments(
+    spark: SparkSession,
+    out_dir: str,
+    n_total: int,
+    term_buckets: int = indexer.DEFAULT_TERM_BUCKETS,
+    block_size: int = indexer.DEFAULT_BLOCK_SIZE,
+    df_prune: int = indexer.DF_PRUNE,
+) -> dict[str, DataFrame]:
+    """Finalize the global index from completed segments (SURVEY M3 merge:
+    unionByName + re-aggregation; df/IDF/BM25 need corpus-global stats)."""
+    manifest = read_manifest(out_dir)
+    missing = [s for s, r in manifest.items() if r["status"] != "done"]
+    if missing:
+        raise RuntimeError(f"segments not done: {missing}")
+
+    doc_stats = spark.read.parquet(f"{out_dir}/seg_doc_stats")
+    postings_raw = spark.read.parquet(f"{out_dir}/raw_postings")
+
+    char_sum = doc_stats.agg(F.sum("aug_len")).collect()[0][0] or 0
+    avg_doc_len = char_sum / n_total if n_total else 0.0
+    corpus_stats = spark.createDataFrame(
+        [(n_total, float(avg_doc_len))], "n_docs long, avg_doc_len double"
+    )
+
+    salted = (
+        postings_raw.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(indexer.DF_SALT))
+        )
+        .groupBy("term", "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial_df"))
+    )
+    term_df = salted.groupBy("term").agg(F.sum("_partial_df").alias("df"))
+    pruned = term_df.filter(F.col("df") > df_prune).withColumn(
+        "idf",
+        F.log((F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    )
+    scored = (
+        postings_raw.join(pruned, "term")
+        .join(doc_stats.select("doc_id", "doc_len"), "doc_id")
+        .crossJoin(F.broadcast(corpus_stats.select("avg_doc_len")))
+        .withColumn(
+            "bm25",
+            F.col("idf") * (F.col("tf") * (indexer.K1 + 1))
+            / (
+                F.col("tf")
+                + indexer.K1
+                * (1 - indexer.B + indexer.B * (F.col("doc_len") / F.col("avg_doc_len")))
+            ),
+        )
+        .drop("avg_doc_len", "segment")
+    )
+    w_term = Window.partitionBy("term").orderBy("doc_id")
+    from .codec import varbyte_encode_udf
+
+    postings = (
+        scored.withColumn(
+            "block_id",
+            ((F.row_number().over(w_term) - 1) / F.lit(block_size)).cast("int"),
+        )
+        .withColumn(
+            "block_max_bm25",
+            F.max("bm25").over(Window.partitionBy("term", "block_id")),
+        )
+        .withColumn("positions_vb", varbyte_encode_udf(F.array_sort("positions")))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
+        )
+    )
+    return {
+        "postings": postings,
+        "doc_stats": doc_stats.drop("segment"),
+        "corpus_stats": corpus_stats,
+    }
+
+
+def build_index_checkpointed(
+    spark: SparkSession,
+    clean: DataFrame,
+    out_dir: str,
+    n_segments: int = 8,
+    fail_after: int | None = None,
+) -> dict[str, DataFrame] | None:
+    """Segmented equivalent of indexer.build_index; returns None if the run
+    was aborted before all segments completed (caller resumes later)."""
+    docs = indexer.assign_doc_ids(clean)
+    n_total = docs.count()
+    build_segments(spark, docs, out_dir, n_segments, fail_after)
+    manifest = read_manifest(out_dir)
+    if len([r for r in manifest.values() if r["status"] == "done"]) < n_segments:
+        return None
+    return merge_segments(spark, out_dir, n_total)

@@ -1,0 +1,66 @@
+"""WAND-on ≡ WAND-off equality (SURVEY §5.2 item 5) + pruning effectiveness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from modernsearchengines_spark.operators import indexer, query, wand
+from modernsearchengines_spark.operators.expansion import compile_query
+from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
+
+QUERIES = REFERENCE_QUERIES + [
+    (3, "castle museum river"),
+    (4, "beer wine coffee market"),
+    (5, "tübingen"),
+]
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, docs_df):
+    idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
+    idx["postings"] = idx["postings"].cache()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def terms(spark, spark_index):
+    compiled = [compile_query(q, t) for q, t in QUERIES]
+    return query.query_terms_df(spark, compiled).cache()
+
+
+@pytest.mark.parametrize("k", [10, 100])
+def test_wand_equals_exhaustive(spark_index, terms, k):
+    base = wand.bm25_topk_exhaustive(spark_index["postings"], terms, k).collect()
+    pruned = wand.bm25_topk_wand(spark_index["postings"], terms, k).collect()
+    base_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in base}
+    pruned_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in pruned}
+    assert set(base_m) == set(pruned_m)
+    for key, (doc_id, score) in base_m.items():
+        p_doc, p_score = pruned_m[key]
+        assert p_doc == doc_id, key
+        assert math.isclose(p_score, score, rel_tol=0, abs_tol=1e-12), key
+
+
+def test_wand_actually_prunes(spark_index, terms):
+    stats = wand.pruning_stats(spark_index["postings"], terms, k=10)
+    assert stats["scored_docs"] <= stats["matched_docs"]
+    # With k=10 on this corpus the θ cut must exclude a nontrivial share.
+    assert stats["scored_docs"] < stats["matched_docs"]
+
+
+def test_wand_candidates_feed_parity_prefilter(spark, spark_index, terms):
+    """rank(prefilter=...) composes with the WAND candidate set: the top-k of
+    the prefiltered parity ranking over a k'-widened candidate pool equals
+    heads of the exhaustive parity ranking only when normalization sets
+    match; here we just assert the plumbing returns a well-formed result."""
+    topk = wand.bm25_topk_wand(spark_index["postings"], terms, 50)
+    pre = topk.select("qnum", "doc_id")
+    res = query.rank(
+        spark_index["postings"], terms, spark_index["doc_stats"], top_k=10,
+        prefilter=pre,
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r.rank <= 10 for r in rows)

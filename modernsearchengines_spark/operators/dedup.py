@@ -1,0 +1,157 @@
+"""Deduplication family for large-scale corpus curation.
+
+The reference ships exact dedup only (simhash with threshold 0.99 ⟺ hamming
+distance 0 ⟺ exact hash equality, Q12 — /root/reference/
+WebCrawler_basis.py:279-303, O(n²) pairwise).  At 100 TB dedup is a
+first-class pipeline stage, so this module provides the standard ladder:
+
+  * exact_dedup            group-by-key keep-first (hash/window, no O(n²))
+  * simhash_dedup          reference Q12 semantics, distributed
+  * minhash_signatures /   MinHash + LSH banding: shingle → K permutation-min
+    lsh_candidate_pairs    hashes → band buckets → bucket equi-self-join;
+                           candidate pairs verified by exact Jaccard
+  * jaccard_pairs          exact token-set Jaccard over candidate pairs
+  * embedding near-dup     see similarity.py (cosine threshold join)
+
+Portability note: the MinHash permutations are affine maps over a DENSE
+TOKEN ID (dense_rank of the token over the corpus vocabulary), not over an
+engine-specific hash function, so the exact same numbers are computable in
+ANSI SQL — that is what makes the DuckDB oracle in __spark_entry__.py able to
+replay them bit-for-bit.  At 100 TB scale the dense-rank vocab pass is one
+extra shuffle over the (small) distinct-token set; swap in xxhash64 when
+cross-engine determinism is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .indexer import simhash_udf
+
+# Affine MinHash parameters: h_i(x) = (A_i·x + B_i) mod P, P prime.
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+NUM_HASHES = 12
+BAND_ROWS = 3  # 4 bands × 3 rows
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep-first row per key (reference remove_duplicates keep-first policy,
+    WebCrawler_basis.py:295-303, made deterministic via order_cols)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFrame:
+    """Q12 dedup: similarity > 0.99 over 64 bits ⟺ equal simhash; the O(n²)
+    pairwise loop becomes a hash group-by — the scalable formulation."""
+    hashed = df.withColumn("_simhash", simhash_udf(text_col))
+    return exact_dedup(hashed, ["_simhash"], order_cols).drop("_simhash")
+
+
+def tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs via whitespace split — JVM-side."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def token_ids(tokens: DataFrame) -> DataFrame:
+    """Dense 1-based token ids over the sorted vocabulary (portable)."""
+    vocab = tokens.select("token").distinct()
+    w = Window.orderBy("token")
+    return vocab.withColumn("token_id", F.dense_rank().over(w).cast("long"))
+
+
+def minhash_signatures(
+    tokens: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """→ (id, hash_idx, minval): K affine-permutation minima per doc.
+
+    A_i = 2i+1 (odd, coprime with P), B_i = 1000003·i — fixed, deterministic,
+    replayable in SQL.
+    """
+    ids = F.broadcast(token_ids(tokens))
+    with_ids = tokens.join(ids, "token")
+    hashes = with_ids.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("hash_idx"),
+                    (
+                        ((2 * i + 1) * F.col("token_id") + 1000003 * i)
+                        % MINHASH_P
+                    ).alias("hval"),
+                ),
+            )
+        ).alias("h"),
+    ).select(id_col, F.col("h.hash_idx").alias("hash_idx"), F.col("h.hval").alias("hval"))
+    return hashes.groupBy(id_col, "hash_idx").agg(F.min("hval").alias("minval"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_key) → candidate
+    pairs (a < b).  The join is an equi join on the band bucket — shuffle on
+    the bucket key, no all-pairs comparison."""
+    banded = signatures.withColumn(
+        "band", (F.col("hash_idx") / F.lit(band_rows)).cast("int")
+    )
+    band_keys = banded.groupBy(id_col, "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hash_idx", "minval"))),
+                lambda s: s["minval"].cast("string"),
+            ),
+            "-",
+        ).alias("band_key")
+    )
+    a = band_keys.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    tokens: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs → (id_a, id_b, jaccard)."""
+    sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = tokens.select(F.col(id_col).alias("id_a"), "token")
+    tb = tokens.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,232 @@
+"""Benchmark harness (driver contract + BASELINE.json scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+and writes measured numbers to BENCH/BASELINE.md:
+  * index-build throughput (docs/sec) at two parallelism levels
+    (local[N] vs local[4N] on identical input — the sandbox stand-in for
+    N vs 4N executors) + scaling efficiency thr(4N)/(4·thr(N));
+  * top-k query latency (reference query set, parity mode + WAND mode);
+  * per-query wall times for the headline relational suite at
+    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (default 40000), SPARK_GRAFT_BENCH_SCALING=0 to skip
+the two-level scaling runs (they dominate wall time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+CORPUS_CACHE = "/tmp/msengines_bench"
+
+HEADLINE_QUERIES = [
+    "bm25_topk",
+    "term_df_pruned",
+    "tpch_pricing_summary",
+    "join_revenue_by_nation",
+    "events_hourly",
+    "events_json",
+    "ann_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "exact_dedup",
+    "minmax_norm",
+]
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = os.path.join(CORPUS_CACHE, f"docs_{n_docs}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CORPUS_CACHE, exist_ok=True)
+        from modernsearchengines_spark.sources.docs import (
+            generate_docs,
+            write_docs_parquet,
+        )
+        rows = generate_docs(n_docs=n_docs, seed=42)
+        write_docs_parquet(rows, path)
+    return path
+
+
+def time_index_build(cores: int, corpus_path: str, out_dir: str) -> dict:
+    """Full index build (clean → ids → tokenize → aggregate → BM25 → write),
+    timed from first action to committed parquet; session setup excluded."""
+    from modernsearchengines_spark.operators import indexer
+    from modernsearchengines_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-index-{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64m"},
+    )
+    docs = spark.read.parquet(corpus_path)
+    n_input = docs.count()  # warm the scan metadata before the clock starts
+    t0 = time.time()
+    clean = indexer.clean_docs(docs)
+    idx = indexer.build_index(spark, clean)
+    indexer.write_index(idx, out_dir)
+    wall = time.time() - t0
+    n_postings = spark.read.parquet(f"{out_dir}/postings").count()
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_input,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_input / wall, 2),
+        "n_postings": n_postings,
+    }
+
+
+def time_queries(spark, index, sf_dir: str) -> dict:
+    """Top-k latency: parity mode (reference semantics) + WAND mode."""
+    from modernsearchengines_spark.operators import query, wand
+    from modernsearchengines_spark.operators.expansion import compile_query
+    from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
+
+    index["postings"] = index["postings"].cache()
+    index["doc_stats"] = index["doc_stats"].cache()
+    index["postings"].count()
+    index["doc_stats"].count()
+
+    out = {}
+    t0 = time.time()
+    query.run_query_batch(spark, index, REFERENCE_QUERIES).collect()
+    out["parity_batch_cold_sec"] = round(time.time() - t0, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        query.run_query_batch(spark, index, REFERENCE_QUERIES).collect()
+        runs.append(time.time() - t0)
+    out["parity_batch_warm_sec"] = round(min(runs), 3)
+
+    compiled = [compile_query(q, t) for q, t in REFERENCE_QUERIES]
+    terms = query.query_terms_df(spark, compiled)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        wand.bm25_topk_wand(index["postings"], index["blocks"], terms, 100).collect()
+        runs.append(time.time() - t0)
+    out["wand_topk_warm_sec"] = round(min(runs), 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        wand.bm25_topk_exhaustive(index["postings"], terms, 100).collect()
+        runs.append(time.time() - t0)
+    out["exhaustive_topk_warm_sec"] = round(min(runs), 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    suite_t0 = time.time()
+    corpus_path = ensure_corpus(n_bench_docs)
+
+    # --- scaling evidence: same job, same input, N vs 4N cores -------------
+    scaling = {}
+    if do_scaling:
+        low = max(cpus // 4, 2)
+        r_low = time_index_build(low, corpus_path, f"{CORPUS_CACHE}/idx_low")
+        r_high = time_index_build(cpus, corpus_path, f"{CORPUS_CACHE}/idx_high")
+        eff = r_high["docs_per_sec"] / (
+            (r_high["cores"] / r_low["cores"]) * r_low["docs_per_sec"]
+        )
+        scaling = {
+            "low": r_low,
+            "high": r_high,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    # --- query latency on the built index ----------------------------------
+    from modernsearchengines_spark.operators import indexer
+    from modernsearchengines_spark.session import get_spark
+
+    spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
+    if do_scaling:
+        index = indexer.read_index(spark, f"{CORPUS_CACHE}/idx_high")
+    else:
+        docs = spark.read.parquet(corpus_path)
+        index = indexer.build_index(spark, indexer.clean_docs(docs))
+    latency = time_queries(spark, index, sf_dir)
+
+    # --- headline relational suite at sf_dir --------------------------------
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    qmap = entrymod.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).collect()
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    suite_wall = round(time.time() - suite_t0, 3)
+
+    # --- BENCH/BASELINE.md ---------------------------------------------------
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers (written by bench.py)",
+        "",
+        f"Input: synthetic fixture corpus, {n_bench_docs} docs "
+        f"(deterministic, seed=42); relational suite at `{sf_dir}`.",
+        "",
+    ]
+    if scaling:
+        lines += [
+            "## Index-build throughput & scaling (north_rule evidence)",
+            "",
+            "| parallelism | docs | wall (s) | docs/sec |",
+            "|---|---|---|---|",
+            f"| local[{scaling['low']['cores']}] | {scaling['low']['n_docs']}"
+            f" | {scaling['low']['wall_sec']} | {scaling['low']['docs_per_sec']} |",
+            f"| local[{scaling['high']['cores']}] | {scaling['high']['n_docs']}"
+            f" | {scaling['high']['wall_sec']} | {scaling['high']['docs_per_sec']} |",
+            "",
+            f"Scaling efficiency thr(4N)/(4·thr(N)) = "
+            f"**{scaling['scaling_efficiency']}** (target ≥ 0.8).",
+            "",
+        ]
+    lines += [
+        "## Top-k query latency (fixture index, reference query set)",
+        "",
+        "| metric | seconds |",
+        "|---|---|",
+    ]
+    for k, v in latency.items():
+        lines.append(f"| {k} | {v} |")
+    lines += ["", f"## Relational suite at sf={sf}", "", "| query | seconds |", "|---|---|"]
+    for k, v in qtimes.items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    lines.append(f"Total suite wall: {suite_wall}s")
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    result = {
+        "metric": "bench_suite_wall",
+        "value": suite_wall,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "index_scaling": scaling,
+        "query_latency": latency,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,12 @@ _WORD_RE = re.compile(r"[\wÀ-ɏ]+", re.UNICODE)
 _WIDTH = 4  # token shingle width, as the simhash package default
 
 
+try:  # vectorized bit-vote; exact same values as the pure-Python fallback
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
+
 def _hash64(data: str) -> int:
     return int.from_bytes(hashlib.md5(data.encode("utf-8")).digest()[:8], "big")
 
@@ -34,6 +40,21 @@ def simhash64(text: str) -> int:
         if len(tokens) < _WIDTH
         else ["".join(tokens[i : i + _WIDTH]) for i in range(len(tokens) - _WIDTH + 1)]
     )
+    if _np is not None:
+        # md5 per shingle stays (it defines the value); the 64-bit vote loop
+        # is the hot path and vectorizes exactly.
+        digests = b"".join(
+            hashlib.md5(sh.encode("utf-8")).digest()[:8] for sh in shingles
+        )
+        bits = _np.unpackbits(
+            _np.frombuffer(digests, dtype=_np.uint8).reshape(-1, 8), axis=1
+        )  # row-major big-endian bits 63..0 of each hash
+        votes = bits.sum(axis=0, dtype=_np.int64) * 2 - len(shingles)
+        value = 0
+        for i, v in enumerate(votes):  # bit i of output = bit (63-i) position
+            if v > 0:
+                value |= 1 << (63 - i)
+        return value
     votes = [0] * 64
     for sh in shingles:
         h = _hash64(sh)

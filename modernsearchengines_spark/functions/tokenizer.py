@@ -141,6 +141,12 @@ def normalize(chunk: str) -> str:
     return _WS_RE.sub(" ", chunk).strip()
 
 
+# token→stem memo (Zipf vocabularies hit this constantly; porter.stem is the
+# hot spot of the tokenize UDF).  Bounded; lives per Python worker process.
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 18
+
+
 def tokenize(text: str, only_unique_tokens: bool = False) -> list[tuple[str, int]]:
     """``text → [(stem, char_offset)]`` with reference-parity semantics.
 
@@ -151,6 +157,7 @@ def tokenize(text: str, only_unique_tokens: bool = False) -> list[tuple[str, int
     """
     seen: set[str] = set()
     out: list[tuple[str, int]] = []
+    cache = _STEM_CACHE
     for start in range(0, len(text), CHUNK_LEN):
         chunk = normalize(text[start : start + CHUNK_LEN])
         for m in _TOKEN_RE.finditer(chunk):
@@ -159,7 +166,11 @@ def tokenize(text: str, only_unique_tokens: bool = False) -> list[tuple[str, int
                 continue
             if tok in STOPWORDS:
                 continue
-            stemmed = porter.stem(lemmatize(tok)).strip()
+            stemmed = cache.get(tok)
+            if stemmed is None:
+                stemmed = porter.stem(lemmatize(tok)).strip()
+                if len(cache) < _STEM_CACHE_MAX:
+                    cache[tok] = stemmed
             if not stemmed:
                 continue
             if only_unique_tokens:

@@ -28,7 +28,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import indexer
@@ -86,28 +86,26 @@ def build_segments(
         seg_docs = docs.filter(F.col("_seg") == seg)
         n_docs = seg_docs.count()
         indexable = seg_docs.filter(F.length("text") <= indexer.MAX_DOC_CHARS)
-        tokens = indexer.tokenize_docs(indexable)
-        doc_stats = tokens.groupBy("doc_id").agg(
-            F.count("term").alias("doc_len"),
-            F.first("aug_len").alias("aug_len"),
-        ).join(seg_docs.select("doc_id", "url", "warc_ts"), "doc_id")
-        postings_raw = tokens.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_idx", "pos"))),
-                lambda s: s["pos"],
-            ).alias("positions"),
-        ).filter(F.col("term").isNotNull())
-        postings_raw.write.mode("overwrite").parquet(
-            f"{out_dir}/raw_postings/segment={seg}"
+        # One Arrow crossing per segment: the enriched (doc stats + local
+        # postings) table IS the committed segment artifact; everything else
+        # derives from the written parquet at merge time.
+        (
+            indexable.withColumn(
+                "dp", indexer.doc_postings_udf("url", "text")
+            )
+            .select(
+                "doc_id", "url", "warc_ts",
+                F.col("dp.aug_len").alias("aug_len"),
+                F.col("dp.doc_len").alias("doc_len"),
+                F.col("dp.postings").alias("postings"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/enriched/segment={seg}")
         )
-        doc_stats.write.mode("overwrite").parquet(
-            f"{out_dir}/seg_doc_stats/segment={seg}"
-        )
-        stats = spark.read.parquet(
-            f"{out_dir}/raw_postings/segment={seg}"
-        ).agg(
-            F.count(F.lit(1)).alias("n_postings"), F.sum("tf").alias("n_tokens")
+        seg_written = spark.read.parquet(f"{out_dir}/enriched/segment={seg}")
+        stats = seg_written.agg(
+            F.sum(F.size("postings")).alias("n_postings"),
+            F.sum("doc_len").alias("n_tokens"),
         ).collect()[0]
         row = {
             "segment_id": seg,
@@ -142,62 +140,37 @@ def merge_segments(
     if missing:
         raise RuntimeError(f"segments not done: {missing}")
 
-    doc_stats = spark.read.parquet(f"{out_dir}/seg_doc_stats")
-    postings_raw = spark.read.parquet(f"{out_dir}/raw_postings")
+    enriched = spark.read.parquet(f"{out_dir}/enriched")
+    doc_stats = enriched.select(
+        "doc_id", "url", "warc_ts", "aug_len", "doc_len", "segment"
+    )
 
-    char_sum = doc_stats.agg(F.sum("aug_len")).collect()[0][0] or 0
+    char_sum = enriched.agg(F.sum("aug_len")).collect()[0][0] or 0
     avg_doc_len = char_sum / n_total if n_total else 0.0
     corpus_stats = spark.createDataFrame(
         [(n_total, float(avg_doc_len))], "n_docs long, avg_doc_len double"
     )
 
-    salted = (
-        postings_raw.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(indexer.DF_SALT))
-        )
-        .groupBy("term", "_salt")
-        .agg(F.count(F.lit(1)).alias("_partial_df"))
+    postings_with_len = enriched.select(
+        "doc_id", "doc_len", F.explode("postings").alias("p")
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
     )
-    term_df = salted.groupBy("term").agg(F.sum("_partial_df").alias("df"))
-    pruned = term_df.filter(F.col("df") > df_prune).withColumn(
-        "idf",
-        F.log((F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-    )
-    scored = (
-        postings_raw.join(pruned, "term")
-        .join(doc_stats.select("doc_id", "doc_len"), "doc_id")
-        .crossJoin(F.broadcast(corpus_stats.select("avg_doc_len")))
-        .withColumn(
-            "bm25",
-            F.col("idf") * (F.col("tf") * (indexer.K1 + 1))
-            / (
-                F.col("tf")
-                + indexer.K1
-                * (1 - indexer.B + indexer.B * (F.col("doc_len") / F.col("avg_doc_len")))
-            ),
-        )
-        .drop("avg_doc_len", "segment")
-    )
-    w_term = Window.partitionBy("term").orderBy("doc_id")
-    from .codec import varbyte_encode_udf
-
-    postings = (
-        scored.withColumn(
-            "block_id",
-            ((F.row_number().over(w_term) - 1) / F.lit(block_size)).cast("int"),
-        )
-        .withColumn(
-            "block_max_bm25",
-            F.max("bm25").over(Window.partitionBy("term", "block_id")),
-        )
-        .withColumn("positions_vb", varbyte_encode_udf(F.array_sort("positions")))
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
-        )
+    postings, blocks = indexer.score_and_layout(
+        postings_with_len,
+        n_total,
+        float(avg_doc_len),
+        term_buckets,
+        block_size,
+        df_prune,
     )
     return {
         "postings": postings,
+        "blocks": blocks,
         "doc_stats": doc_stats.drop("segment"),
         "corpus_stats": corpus_stats,
     }

@@ -26,6 +26,8 @@ query time.
 
 from __future__ import annotations
 
+import tempfile
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -80,6 +82,66 @@ def tokenize_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: tokenize(t) if t is not None else [])
 
 
+DOC_POSTINGS_TYPE = StructType(
+    [
+        StructField("aug_len", LongType()),
+        StructField("doc_len", LongType()),
+        StructField(
+            "postings",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", IntegerType()),
+                        StructField("positions", ArrayType(IntegerType())),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@F.pandas_udf(DOC_POSTINGS_TYPE)
+def doc_postings_udf(url: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Map-side posting construction: URL-word augmentation (Q4), tokenize,
+    and per-doc (term → tf, positions) aggregation INSIDE one Arrow batch.
+
+    The tokens of a document are colocated by definition, so grouping them
+    needs no shuffle — the naive tokenize→explode→groupBy(term, doc_id) plan
+    shuffles every token row (~2× posting count) for an aggregation that is
+    free map-side.  This is the classic per-partition local-index build; the
+    only remaining shuffles in the whole pipeline are the (small) term-df
+    aggregation.  Folding url_to_words in here keeps the pipeline at ONE
+    Arrow crossing (a separate url_words UDF would force a second
+    ArrowEvalPython stage through which the full text column travels).
+
+    Outputs per doc: aug_len = char length of url words + " " + text
+    (Q1/Q2 avg_doc_len numerator), doc_len = token count (Q1), postings in
+    appearance order (Q5).
+    """
+
+    def one(u: str, t: str | None):
+        if t is None:  # length-capped doc: counted in N, not indexed (Q2/Q3)
+            return (None, 0, [])
+        aug = url_to_words(u) + " " + t
+        toks = tokenize(aug)
+        agg: dict[str, list[int]] = {}
+        for term, pos in toks:
+            agg.setdefault(term, []).append(pos)
+        return (
+            len(aug),
+            len(toks),
+            [
+                {"term": term, "tf": len(ps), "positions": ps}
+                for term, ps in agg.items()
+            ],
+        )
+
+    rows = [one(u, t) for u, t in zip(url, text)]
+    return pd.DataFrame(rows, columns=["aug_len", "doc_len", "postings"])
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     """64-bit simhash, two's-complement into a Spark long (O-70)."""
@@ -105,6 +167,13 @@ def clean_docs(docs: DataFrame, derive_text_from_html: bool = False) -> DataFram
     """
     if derive_text_from_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
+    # Spread rows before the first Arrow UDF: a 100 TB scan has thousands of
+    # splits, but a small local file may have 1-3 — the repartition makes the
+    # UDF stages use the full executor pool either way.  Explicit partition
+    # count: AQE would coalesce a bare repartition() by byte size, which is
+    # the wrong cost model for Python-heavy stages (bytes ≪ CPU).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
+    docs = docs.repartition(n_parts, "url")
     english = docs.filter(F.col("lang").startswith("en"))
     hashed = english.withColumn("simhash", simhash_udf("text"))
     w = Window.partitionBy("simhash").orderBy("warc_ts", "url")
@@ -118,21 +187,41 @@ def clean_docs(docs: DataFrame, derive_text_from_html: bool = False) -> DataFram
 # --------------------------------------------------------------------------
 # Deterministic dense doc_id over url (replaces SQLite rowid, SURVEY O-1)
 # --------------------------------------------------------------------------
-def assign_doc_ids(docs: DataFrame, n_ranges: int = 32) -> DataFrame:
-    """doc_id = dense 0-based rank of url, computed scalably.
+def assign_doc_ids(docs: DataFrame, mode: str = "hash", n_ranges: int = 32) -> DataFrame:
+    """Deterministic doc ids over url (replaces SQLite rowid, SURVEY O-1).
 
-    A global ``row_number() OVER (ORDER BY url)`` would single-partition at
-    100 TB; instead: range-repartition by url, number rows within each sorted
-    range, then add broadcast per-range offsets (two light shuffles, no
-    global sort on one task).
+    ``mode="hash"`` (default): ``doc_id = xxhash64(url)`` — a pure column
+    expression, zero coordination, the only formulation that scales to
+    10^12 docs without a global ordering pass.  The oracle computes the
+    identical ids via the vendored pure-Python xxHash64
+    (functions/hashing.py), so engine↔oracle doc ids agree bit-for-bit.
+    Collision risk documented there.
+
+    ``mode="dense"``: dense 0-based rank of url (closest analogue of the
+    reference's SQLite rowid).  A global ``row_number() OVER (ORDER BY
+    url)`` would single-partition at 100 TB; instead the URL COLUMN ALONE is
+    range-repartitioned and numbered within each sorted range, per-range
+    offsets are added back, and the tiny (url, doc_id) map is hash-joined
+    onto the full rows.  The numbered intermediate is persisted before the
+    offsets are derived: ``spark_partition_id()`` is nondeterministic and
+    upstream row order is shuffle-dependent, so evaluating the subtree twice
+    (offsets branch + join branch) can disagree on range boundaries and mint
+    duplicate ids — observed in benchmarking as colliding doc_ids and a
+    wobbling posting count.  Single evaluation makes the assignment exact by
+    construction (tests/test_determinism.py).
     """
-    ranged = (
-        docs.repartitionByRange(n_ranges, "url")
+    if mode == "hash":
+        return docs.withColumn("doc_id", F.xxhash64("url"))
+    urls = docs.select("url")
+    numbered = (
+        urls.repartitionByRange(n_ranges, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("url"))
+        )
+        .persist()
     )
-    w = Window.partitionBy("_pid").orderBy("url")
-    numbered = ranged.withColumn("_rn", F.row_number().over(w))
     offsets = (
         numbered.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -149,11 +238,12 @@ def assign_doc_ids(docs: DataFrame, n_ranges: int = 32) -> DataFrame:
         )
         .drop("_cnt")
     )
-    return (
+    ids = (
         numbered.join(F.broadcast(offsets), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        .select("url", "doc_id")
     )
+    return docs.join(ids, "url")
 
 
 # --------------------------------------------------------------------------
@@ -187,45 +277,123 @@ def build_index(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     block_size: int = DEFAULT_BLOCK_SIZE,
     df_prune: int = DF_PRUNE,
+    work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Build postings/doc_stats/corpus_stats from a cleaned corpus.
 
-    Returns unmaterialized DataFrames; callers persist via
-    :func:`write_index` (or the segment/checkpoint path in checkpoint.py).
+    Evaluation discipline (this is where the 100 TB story lives):
+
+      * ``docs`` (post-dedup, with assigned ids) is persisted ONCE — every
+        downstream branch reuses the same materialization, so the simhash +
+        doc-id assignment never re-runs and ids are consistent across
+        branches by construction;
+      * the expensive tokenize UDF is evaluated EXACTLY ONCE: the compact
+        (term, doc_id, tf, positions) aggregate is persisted and doc lengths
+        are derived from it (``doc_len = Σ tf``) instead of re-tokenizing;
+      * at cluster scale the persists become parquet segment writes — that
+        is precisely the checkpoint.py path; this in-memory variant keeps
+        the same single-evaluation structure.
+
+    Returns DataFrames; callers persist via :func:`write_index` (or the
+    segment/checkpoint path).  Call ``unpersist_index`` when done.
     """
     docs = assign_doc_ids(clean)
 
-    # Q2/Q3 denominators: N counts ALL cleaned docs, even length-capped ones.
-    n_total = docs.count()
-
-    indexable = docs.filter(F.length("text") <= MAX_DOC_CHARS)
-    tokens = tokenize_docs(indexable)
-
-    # Doc stats: token-count doc_len (Q1) + char aug_len.
-    doc_stats = tokens.groupBy("doc_id").agg(
-        F.count("term").alias("doc_len"),
-        F.first("aug_len").alias("aug_len"),
+    # Map-side local index: the WHOLE cleaning+tokenize pipeline is ONE job
+    # ending in a parquet write — no persist, no re-evaluation anywhere.
+    # Length-capped docs (Q2/Q3) ride along with NULL text into the UDF,
+    # which emits (aug_len=NULL, doc_len=0, postings=[]) for them: they stay
+    # in N but out of the char sum and the index, exactly the reference
+    # semantics.  Parquet (not .persist()): Spark's in-memory columnar cache
+    # falls back to slow row-based access for nested array<struct> columns,
+    # while parquet keeps nested reads vectorized — and this transient table
+    # IS the per-segment artifact of the checkpointed build (checkpoint.py).
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="msengines_idx_")
+    enriched_path = f"{work_dir}/enriched"
+    (
+        docs.withColumn(
+            "dp",
+            doc_postings_udf(
+                "url",
+                F.when(F.length("text") <= MAX_DOC_CHARS, F.col("text")),
+            ),
+        )
+        .select(
+            "doc_id", "url", "warc_ts",
+            F.col("dp.aug_len").alias("aug_len"),
+            F.col("dp.doc_len").alias("doc_len"),
+            F.col("dp.postings").alias("postings"),
+        )
+        .write.mode("overwrite")
+        .parquet(enriched_path)
     )
-    doc_stats = doc_stats.join(
-        docs.select("doc_id", "url", "warc_ts"), "doc_id"
-    )
+    enriched = spark.read.parquet(enriched_path)
 
-    # avg_doc_len: char sum over indexed docs ÷ FULL corpus count (Q1/Q2).
-    char_sum = doc_stats.agg(F.sum("aug_len")).collect()[0][0] or 0
+    doc_stats = enriched.select("doc_id", "url", "warc_ts", "aug_len", "doc_len")
+
+    # ONE stats job over the written parquet: N counts ALL cleaned docs even
+    # length-capped ones (Q2/Q3); char sum skips them (NULL aug_len, Q1/Q2).
+    stats_row = enriched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("aug_len").alias("chars")
+    ).collect()[0]
+    n_total, char_sum = stats_row.n, stats_row.chars or 0
     avg_doc_len = char_sum / n_total if n_total else 0.0
     corpus_stats = spark.createDataFrame(
         [(n_total, float(avg_doc_len))], "n_docs long, avg_doc_len double"
     )
 
-    # (term, doc_id) postings: tf + positions in appearance order.
-    postings_raw = tokens.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("tok_idx", "pos"))),
-            lambda s: s["pos"],
-        ).alias("positions"),
+    # Flatten to posting rows; doc_len rides along (no doc-stats join later).
+    postings_raw = enriched.select(
+        "doc_id",
+        "doc_len",
+        F.explode("postings").alias("p"),
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
     )
 
+    postings, blocks = score_and_layout(
+        postings_raw, n_total, avg_doc_len, term_buckets, block_size, df_prune
+    )
+    return {
+        "postings": postings,
+        "blocks": blocks,
+        "doc_stats": doc_stats,
+        "corpus_stats": corpus_stats,
+        "_enriched": enriched,
+    }
+
+
+def score_and_layout(
+    postings_raw: DataFrame,
+    n_total: int,
+    avg_doc_len: float,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    df_prune: int = DF_PRUNE,
+) -> tuple[DataFrame, DataFrame]:
+    """df → IDF → BM25 → df>5 prune → varbyte → block layout.
+
+    ``postings_raw`` must carry (term, doc_id, tf, positions, doc_len).
+    ``block_size`` must be a power of two (block assignment is an arithmetic
+    shift so it stays exact over the full signed-64 doc_id range).
+
+    Block layout: blocks are DOC-ID RANGES of width ``block_size`` global to
+    the corpus (``block_id = doc_id // block_size``) rather than per-term
+    row-number runs.  A per-term row-number layout needs a window over the
+    term partition — an extra full-row shuffle + two sorts whose cost is
+    dominated by the positions payload, and a skew hazard on head terms.
+    The doc-range layout is a pure column expression; per-block maxima live
+    in a separate compact ``blocks(term, block_id, block_max_bm25)`` table
+    aggregated map-side.  Head terms (the pruning targets) keep dense
+    blocks, so block-max pruning selectivity where it matters is preserved,
+    and doc-range blocks keep the ordered-skip semantics of block-max WAND
+    (Ding & Suel 2011) since ranges are contiguous in doc_id.
+    """
     # Document frequency with explicit two-level salted aggregation: head
     # terms ("tuebingen" is in nearly every page by design, R5) would hot-spot
     # a single reducer; pre-aggregate per (term, salt), then merge. Exact.
@@ -249,44 +417,36 @@ def build_index(
 
     scored = (
         postings_raw.join(pruned_terms, "term")
-        .join(doc_stats.select("doc_id", "doc_len"), "doc_id")
-        .crossJoin(F.broadcast(corpus_stats.select("avg_doc_len")))
         .withColumn(
             "bm25",
             F.col("idf")
             * (F.col("tf") * (K1 + 1))
             / (
                 F.col("tf")
-                + K1 * (1 - B + B * (F.col("doc_len") / F.col("avg_doc_len")))
+                + K1
+                * (1 - B + B * (F.col("doc_len") / F.lit(float(avg_doc_len))))
             ),
         )
-        .drop("avg_doc_len")
-    )
-
-    # Block layout for block-max WAND: fixed-size doc_id-ordered blocks per
-    # term with per-block max score. (Window shuffles by term; AQE skew
-    # handling splits oversized head-term partitions.)
-    w_term = Window.partitionBy("term").orderBy("doc_id")
-    postings = (
-        scored.withColumn(
-            "block_id",
-            ((F.row_number().over(w_term) - 1) / F.lit(block_size)).cast("int"),
-        )
         .withColumn(
-            "block_max_bm25",
-            F.max("bm25").over(Window.partitionBy("term", "block_id")),
+            # exact floor-division by the (power-of-two) block width via
+            # arithmetic shift — safe for full-range int64 hash doc ids
+            "block_id",
+            F.shiftright(F.col("doc_id"), block_size.bit_length() - 1),
         )
-        .withColumn("positions_vb", varbyte_encode_udf(F.array_sort("positions")))
         .withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
         )
     )
-    return {
-        "postings": postings,
-        "doc_stats": doc_stats,
-        "corpus_stats": corpus_stats,
-    }
+
+    postings = scored.withColumn(
+        "positions_vb", varbyte_encode_udf(F.array_sort("positions"))
+    ).drop("doc_len")
+
+    blocks = scored.groupBy("term_bucket", "term", "block_id").agg(
+        F.max("bm25").alias("block_max_bm25")
+    )
+    return postings, blocks
 
 
 def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
@@ -294,10 +454,22 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
 
     postings are partitioned by ``term_bucket`` = bucket(K, term) so the
     query-time broadcast term join prunes to the buckets containing the query
-    terms (SURVEY O-24 partition pruning).
+    terms (SURVEY O-24 partition pruning).  Repartition on the bucket column
+    first so each bucket gets one coherent file instead of
+    (#tasks × #buckets) shards.
     """
-    index["postings"].write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{out_dir}/postings"
+    index["postings"].repartition("term_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{out_dir}/postings")
+    # blocks derive from the WRITTEN postings (narrow columnar read) instead
+    # of re-evaluating the scoring subtree a second time.
+    spark = index["postings"].sparkSession
+    (
+        spark.read.parquet(f"{out_dir}/postings")
+        .groupBy("term_bucket", "term", "block_id")
+        .agg(F.max("bm25").alias("block_max_bm25"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/blocks")
     )
     index["doc_stats"].write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     index["corpus_stats"].write.mode("overwrite").parquet(
@@ -305,9 +477,19 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
     )
 
 
+def unpersist_index(index: dict[str, DataFrame]) -> None:
+    """Release the persists taken by build_index (best-effort)."""
+    for df in index.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     return {
         "postings": spark.read.parquet(f"{out_dir}/postings"),
+        "blocks": spark.read.parquet(f"{out_dir}/blocks"),
         "doc_stats": spark.read.parquet(f"{out_dir}/doc_stats"),
         "corpus_stats": spark.read.parquet(f"{out_dir}/corpus_stats"),
     }

@@ -33,12 +33,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _matched(postings: DataFrame, terms: DataFrame, light: bool) -> DataFrame:
-    cols = ["qnum", "doc_id", "block_max_bm25"] if light else ["qnum", "doc_id", "bm25"]
+def _matched(postings: DataFrame, terms: DataFrame) -> DataFrame:
     return postings.join(
         F.broadcast(terms.select("term_bucket", "term", "qnum")),
         ["term_bucket", "term"],
-    ).select(*cols)
+    ).select("qnum", "doc_id", "bm25")
+
+
+def _matched_light(
+    postings: DataFrame, blocks: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """Light columns only: posting (term, doc_id, block_id) joined with the
+    compact blocks table — positions/bm25 columns stay unread (Parquet
+    column pruning)."""
+    t = F.broadcast(terms.select("term_bucket", "term", "qnum"))
+    narrow = postings.join(t, ["term_bucket", "term"]).select(
+        "qnum", "term_bucket", "term", "doc_id", "block_id"
+    )
+    b = blocks.join(t.select("term_bucket", "term").distinct(),
+                    ["term_bucket", "term"])
+    return narrow.join(
+        F.broadcast(b), ["term_bucket", "term", "block_id"]
+    ).select("qnum", "doc_id", "block_max_bm25")
 
 
 def bm25_topk_exhaustive(
@@ -46,7 +62,7 @@ def bm25_topk_exhaustive(
 ) -> DataFrame:
     """Baseline: score every matched doc, window top-k per query."""
     scores = (
-        _matched(postings, terms, light=False)
+        _matched(postings, terms)
         .groupBy("qnum", "doc_id")
         .agg(F.sum("bm25").alias("score"))
     )
@@ -59,12 +75,12 @@ def bm25_topk_exhaustive(
 
 
 def bm25_topk_wand(
-    postings: DataFrame, terms: DataFrame, k: int = 100
+    postings: DataFrame, blocks: DataFrame, terms: DataFrame, k: int = 100
 ) -> DataFrame:
     """Block-max-pruned top-k; identical output to the exhaustive path."""
     # Phase A — upper bounds from block maxima only.
     ub = (
-        _matched(postings, terms, light=True)
+        _matched_light(postings, blocks, terms)
         .groupBy("qnum", "doc_id")
         .agg(F.sum("block_max_bm25").alias("ub"))
     )
@@ -75,7 +91,7 @@ def bm25_topk_wand(
         .select("qnum", "doc_id")
     )
 
-    exact = _matched(postings, terms, light=False)
+    exact = _matched(postings, terms)
 
     # Phase B — exact seed scores → per-query threshold θ (k-th best seed).
     w_seed = Window.partitionBy("qnum").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -90,9 +106,13 @@ def bm25_topk_wand(
     )
 
     # Phase C — exact-score only candidates whose upper bound clears θ.
+    # 1-ulp guard: when a doc sits alone in its blocks, ub(d) ≡ exact(d)
+    # mathematically but the two sums reduce in different orders, so ub can
+    # land one ulp BELOW θ at the boundary (observed; BM25 ≥ 0 so a relative
+    # shrink of θ is a sound slack).
     candidates = (
         ub.join(F.broadcast(theta), "qnum")
-        .filter(F.col("ub") >= F.col("theta"))
+        .filter(F.col("ub") >= F.col("theta") * (1 - 1e-9))
         .select("qnum", "doc_id")
     )
     scores = (
@@ -108,10 +128,12 @@ def bm25_topk_wand(
     )
 
 
-def pruning_stats(postings: DataFrame, terms: DataFrame, k: int = 100) -> dict:
+def pruning_stats(
+    postings: DataFrame, blocks: DataFrame, terms: DataFrame, k: int = 100
+) -> dict:
     """Diagnostic: matched docs vs docs surviving the θ cut."""
     ub = (
-        _matched(postings, terms, light=True)
+        _matched_light(postings, blocks, terms)
         .groupBy("qnum", "doc_id")
         .agg(F.sum("block_max_bm25").alias("ub"))
     )
@@ -122,7 +144,7 @@ def pruning_stats(postings: DataFrame, terms: DataFrame, k: int = 100) -> dict:
         .filter(F.col("_r") <= k)
         .select("qnum", "doc_id")
     )
-    exact = _matched(postings, terms, light=False)
+    exact = _matched(postings, terms)
     w_seed = Window.partitionBy("qnum").orderBy(F.desc("score"), F.asc("doc_id"))
     theta = (
         exact.join(seeds, ["qnum", "doc_id"], "left_semi")
@@ -135,7 +157,7 @@ def pruning_stats(postings: DataFrame, terms: DataFrame, k: int = 100) -> dict:
     )
     n_candidates = (
         ub.join(F.broadcast(theta), "qnum")
-        .filter(F.col("ub") >= F.col("theta"))
+        .filter(F.col("ub") >= F.col("theta") * (1 - 1e-9))
         .count()
     )
     return {"matched_docs": n_matched, "scored_docs": n_candidates}

@@ -1,0 +1,58 @@
+"""Incremental ingestion demo: Structured Streaming → index segments.
+
+The reference has NO streaming surface (SURVEY §2.10): its crawler is an
+incremental batch process with a pickle checkpoint.  The Spark-native
+analogue offered here is a ``foreachBatch`` pipeline: a stream of docs
+(file source in production; any streaming DataFrame here) is cleaned and
+appended as RAW posting segments per micro-batch — the same raw-segment
+shape the checkpointed batch build uses (operators/checkpoint.py), so the
+merge/finalize pass turns accumulated micro-batches into a queryable index.
+
+This keeps exactly-once semantics via the streaming checkpoint + idempotent
+per-batch parquet directories, mirroring the `_segments` lineage protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import indexer
+
+
+def raw_postings_for_batch(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+    """Cleaned micro-batch → raw (term, doc_id, tf, positions) postings.
+
+    doc_id here is the stable xxhash64(url) (a streaming batch cannot assign
+    global dense ranks); the merge pass can re-map ids if dense ids are
+    required.
+    """
+    clean = indexer.clean_docs(batch_df)
+    with_ids = clean.withColumn("doc_id", F.xxhash64("url"))
+    return (
+        with_ids.withColumn("dp", indexer.doc_postings_udf("url", "text"))
+        .select("doc_id", F.explode("dp.postings").alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+
+
+def start_ingest(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """writeStream.foreachBatch appending one raw segment per micro-batch."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        postings = raw_postings_for_batch(batch_df, epoch_id)
+        postings.write.mode("overwrite").parquet(
+            f"{out_dir}/raw_postings/segment=stream{epoch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -66,13 +66,18 @@ class OracleIndex:
 
 
 def build_index(clean_rows: list[dict]) -> OracleIndex:
-    """Index the cleaned corpus; doc_id = dense rank over url."""
+    """Index the cleaned corpus; doc_id = xxhash64(url) — identical to the
+    engine default (functions/hashing.py; dense-rank ids remain an engine
+    option)."""
+    from modernsearchengines_spark.functions.hashing import xxhash64_str
+
     idx = OracleIndex()
     rows = sorted(clean_rows, key=lambda r: r["url"])
     idx.n_docs = len(rows)
     raw: dict[str, dict[int, list[int]]] = defaultdict(dict)
     char_sum = 0
-    for doc_id, row in enumerate(rows):
+    for row in rows:
+        doc_id = xxhash64_str(row["url"])
         idx.doc_urls[doc_id] = row["url"]
         if len(row["text"]) > MAX_DOC_CHARS:  # Q2/Q3: still counted in N/avg
             continue

@@ -44,10 +44,24 @@ def test_clean_corpus_matches_oracle(spark, docs_df, corpus_rows):
     assert clean_urls == oracle_urls
 
 
-def test_doc_ids_dense_over_url(spark, docs_df):
+def test_doc_ids_hash_default(spark, docs_df):
+    """Default ids are xxhash64(url), unique, matching the vendored oracle
+    hash bit-for-bit."""
+    from modernsearchengines_spark.functions.hashing import xxhash64_str
+
     ids = indexer.assign_doc_ids(indexer.clean_docs(docs_df)).select(
         "doc_id", "url"
     )
+    rows = ids.collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows[:50]:
+        assert r.doc_id == xxhash64_str(r.url)
+
+
+def test_doc_ids_dense_mode(spark, docs_df):
+    ids = indexer.assign_doc_ids(
+        indexer.clean_docs(docs_df), mode="dense"
+    ).select("doc_id", "url")
     rows = sorted(ids.collect(), key=lambda r: r.url)
     assert [r.doc_id for r in rows] == list(range(len(rows)))
 
@@ -61,8 +75,12 @@ def test_corpus_stats_match(spark_index, oracle_index):
 
 
 def test_doc_lengths_match(spark_index, oracle_index):
+    # Length-capped docs carry NULL aug_len / doc_len 0 in doc_stats and are
+    # absent from the oracle's doc_lengths (not indexed) — compare indexed.
     got = {
-        r.doc_id: r.doc_len for r in spark_index["doc_stats"].collect()
+        r.doc_id: r.doc_len
+        for r in spark_index["doc_stats"].collect()
+        if r.aug_len is not None
     }
     assert got == oracle_index.doc_lengths
 
@@ -94,18 +112,27 @@ def test_df_prune_applied(spark_index):
 
 
 def test_block_max_consistency(spark_index):
-    bad = (
+    """blocks(term, block_id, block_max_bm25) exactly matches the per-
+    (term, doc-range-block) maxima of the postings, 1:1."""
+    derived = (
         spark_index["postings"]
         .groupBy("term", "block_id")
-        .agg(
-            F.max("bm25").alias("m"),
-            F.first("block_max_bm25").alias("stored"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .filter(
-            (F.abs(F.col("m") - F.col("stored")) > 1e-12)
-            | (F.col("n") > indexer.DEFAULT_BLOCK_SIZE)
-        )
-        .count()
+        .agg(F.max("bm25").alias("m"))
     )
+    joined = derived.join(
+        spark_index["blocks"], ["term", "block_id"], "full_outer"
+    )
+    bad = joined.filter(
+        F.col("m").isNull()
+        | F.col("block_max_bm25").isNull()
+        | (F.abs(F.col("m") - F.col("block_max_bm25")) > 1e-12)
+    ).count()
     assert bad == 0
+    # doc-range blocks: block_id is doc_id >> log2(block_size)
+    mis = spark_index["postings"].filter(
+        F.col("block_id")
+        != F.shiftright(
+            F.col("doc_id"), indexer.DEFAULT_BLOCK_SIZE.bit_length() - 1
+        )
+    ).count()
+    assert mis == 0

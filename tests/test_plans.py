@@ -1,0 +1,63 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, vectorized Python.
+
+These lock the physical-plan properties the 100 TB design depends on; a
+regression here means a full-scan or row-at-a-time Python stage snuck in.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from modernsearchengines_spark.plans.explain import (
+    formatted_plan,
+    has_pushed_filter,
+    python_eval_nodes,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_length_filter_pushdown_and_pruning(spark):
+    df = entrymod.q_length_filter(spark, SF_DIR)
+    # Predicates reach the parquet scan…
+    assert has_pushed_filter(df, "lang") and has_pushed_filter(df, "n_chars")
+    # …and unused columns (text, source) are pruned from the read schema.
+    cols = read_schema_columns(df)
+    assert "text" not in cols and "source" not in cols
+
+
+def test_join_uses_broadcast(spark):
+    df = entrymod.q_join_revenue_by_nation(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_retrieval_join_broadcasts_and_prunes_buckets(spark, docs_df):
+    from modernsearchengines_spark.operators import indexer, query
+    from modernsearchengines_spark.operators.expansion import compile_query
+
+    idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
+    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")])
+    ranked = query.rank(idx["postings"], terms, idx["doc_stats"], top_k=10)
+    plan = formatted_plan(ranked)
+    assert "BroadcastHashJoin" in plan
+    indexer.unpersist_index(idx)
+
+
+def test_udfs_are_arrow_vectorized_not_row_python(spark, docs_df):
+    from modernsearchengines_spark.operators import indexer
+
+    derived = docs_df.withColumn("t", indexer.extract_text_udf("html"))
+    nodes = python_eval_nodes(derived)
+    assert nodes == ["ArrowEvalPython"]
+
+
+def test_bm25_topk_aggregates_before_sort(spark):
+    # Top-k must be TakeOrderedAndProject / WindowGroupLimit, never a global
+    # sort of the full posting set feeding a collect.
+    df = entrymod.q_bm25_topk(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

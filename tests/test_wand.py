@@ -33,7 +33,9 @@ def terms(spark, spark_index):
 @pytest.mark.parametrize("k", [10, 100])
 def test_wand_equals_exhaustive(spark_index, terms, k):
     base = wand.bm25_topk_exhaustive(spark_index["postings"], terms, k).collect()
-    pruned = wand.bm25_topk_wand(spark_index["postings"], terms, k).collect()
+    pruned = wand.bm25_topk_wand(
+        spark_index["postings"], spark_index["blocks"], terms, k
+    ).collect()
     base_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in base}
     pruned_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in pruned}
     assert set(base_m) == set(pruned_m)
@@ -44,7 +46,9 @@ def test_wand_equals_exhaustive(spark_index, terms, k):
 
 
 def test_wand_actually_prunes(spark_index, terms):
-    stats = wand.pruning_stats(spark_index["postings"], terms, k=10)
+    stats = wand.pruning_stats(
+        spark_index["postings"], spark_index["blocks"], terms, k=10
+    )
     assert stats["scored_docs"] <= stats["matched_docs"]
     # With k=10 on this corpus the θ cut must exclude a nontrivial share.
     assert stats["scored_docs"] < stats["matched_docs"]
@@ -55,7 +59,9 @@ def test_wand_candidates_feed_parity_prefilter(spark, spark_index, terms):
     the prefiltered parity ranking over a k'-widened candidate pool equals
     heads of the exhaustive parity ranking only when normalization sets
     match; here we just assert the plumbing returns a well-formed result."""
-    topk = wand.bm25_topk_wand(spark_index["postings"], terms, 50)
+    topk = wand.bm25_topk_wand(
+        spark_index["postings"], spark_index["blocks"], terms, 50
+    )
     pre = topk.select("qnum", "doc_id")
     res = query.rank(
         spark_index["postings"], terms, spark_index["doc_stats"], top_k=10,

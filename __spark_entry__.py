@@ -310,6 +310,80 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_proximity_2term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-53 (2-term case): minimal window covering one occurrence of each of
+    two terms, scored 1/(span/2) like the reference min-span heap scan —
+    expressible relationally for two lists as the min over position pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    a = toks.filter(F.col("token") == "spark").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("token") == "join").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (F.min(F.abs(F.col("pa") - F.col("pb")) + 1)).alias("min_span")
+        )
+        .select(
+            "doc_id",
+            "min_span",
+            F.round(2.0 / F.col("min_span"), 6).alias("prox_score"),
+        )
+    )
+
+
+def q_minspan_proximity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-53 general k-list min-span via the engine's heap-scan pandas UDF
+    (rows-only: the k-way early-terminating heap walk is not ANSI SQL)."""
+    from modernsearchengines_spark.operators.proximity import min_span_score_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    lists = (
+        toks.filter(F.col("token").isin("spark", "join", "merge"))
+        .groupBy("doc_id", "token")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("positions").alias("lists"))
+    )
+    return lists.select(
+        "doc_id", F.round(min_span_score_udf("lists"), 6).alias("prox")
+    )
+
+
+def q_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-55/O-56 set union/difference over token arrays (JVM array fns)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+    extra = F.array(F.lit("spark"), F.lit("flink"), F.lit("trino"))
+    stop = F.array(F.lit("the"), F.lit("a"))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_union(toks, extra)).alias("n_union"),
+        F.size(F.array_except(toks, stop)).alias("n_except"),
+        F.size(F.array_intersect(toks, extra)).alias("n_intersect"),
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 30m slide) — the batch twin of
+    the Structured Streaming windowed aggregation."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events"
+        )
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation; DECIMAL-exact sums (order-independent)
     cast to DOUBLE only at the end."""
@@ -457,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_counts": q_subword_counts,
         "fingerprint": q_fingerprint,
         "simhash_dedup": q_simhash_dedup,
+        "proximity_2term": q_proximity_2term,
+        "minspan_proximity_udf": q_minspan_proximity_udf,
+        "token_set_ops": q_token_set_ops,
+        "events_sliding": q_events_sliding,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "supplier_balance_by_region": q_supplier_balance_by_region,
@@ -689,6 +767,39 @@ fp AS (
 )
 SELECT d.doc_id, COALESCE(fp.fp, 0) AS fp
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+        "proximity_2term": f"""
+WITH {_TOKS_CTE},
+a AS (SELECT doc_id, pos AS pa FROM toks WHERE token = 'spark'),
+b AS (SELECT doc_id, pos AS pb FROM toks WHERE token = 'join'),
+spans AS (
+    SELECT a.doc_id, MIN(abs(a.pa - b.pb) + 1) AS min_span
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(min_span AS BIGINT) AS min_span,
+       ROUND(2.0 / min_span, 6) AS prox_score
+FROM spans
+""",
+        "token_set_ops": """
+SELECT doc_id,
+       len(list_distinct(list_cat(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                                  ['spark','flink','trino']))) AS n_union,
+       len(list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                       x -> x NOT IN ('the','a'))) AS n_except,
+       len(list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                       x -> x IN ('spark','flink','trino'))) AS n_intersect
+FROM documents
+""",
+        "events_sliding": """
+WITH starts AS (
+    SELECT time_bucket(INTERVAL 30 minutes, ts) AS w_start, event_type FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL 30 minutes, ts) - INTERVAL 30 minutes AS w_start,
+           event_type FROM events
+)
+SELECT w_start, event_type, COUNT(*) AS n_events
+FROM starts GROUP BY w_start, event_type
 """,
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -1,13 +1,16 @@
 """Distributed inverted-index build (SURVEY.md §3.1 rebuild lifecycle).
 
 Pipeline (all Catalyst-planned; Python crosses the JVM boundary only inside
-the Arrow-vectorized UDFs marked *):
+the Arrow-vectorized UDFs marked *; ONE map-side job builds local postings):
 
-    docs ──derive text from html (*extract)──filter(lang)──dedup(simhash*)
-         ──assign dense doc_ids──filter(len ≤ 800k)──url-words(*)+concat
-         ──tokenize(*)──posexplode──[shuffle (term,doc_id)]──tf/positions agg
-         ──salted df agg [two-level, head-term skew R5]──IDF/BM25 column exprs
-         ──df>5 prune──varbyte(*)+block stats──write bucketed by term
+    docs ──derive text from html (*extract)──filter(lang)──dedup(*simhash)
+         ──doc_id = xxhash64(url)──length-cap gate (Q2/Q3)
+         ──*doc_postings (url-words Q4 + tokenize + per-doc term agg,
+            a single Arrow crossing, NO token shuffle)──parquet segment
+    then: stats (one agg) ── flatten ── salted df agg [two-level, head-term
+    skew R5] ── IDF/BM25 column exprs ── df>5 prune ── *varbyte ──
+    hash-block ids ── write bucketed by term ── blocks table from the
+    written postings (narrow columnar read)
 
 Reference semantics replicated: length cap counts toward N and avg_doc_len
 (Q2/Q3, reference indexing.py:182,193-200), token-count doc length over
@@ -49,7 +52,7 @@ B = 0.75
 MAX_DOC_CHARS = 800_000
 DF_PRUNE = 5
 DEFAULT_TERM_BUCKETS = 64
-DEFAULT_BLOCK_SIZE = 128  # postings per block-max WAND block
+DEFAULT_BLOCK_SIZE = 256  # hash blocks per term for block-max pruning
 DF_SALT = 16  # salt fan-out for the head-term df aggregation
 
 TOKEN_TYPE = ArrayType(
@@ -379,8 +382,16 @@ def score_and_layout(
     """df → IDF → BM25 → df>5 prune → varbyte → block layout.
 
     ``postings_raw`` must carry (term, doc_id, tf, positions, doc_len).
-    ``block_size`` must be a power of two (block assignment is an arithmetic
-    shift so it stays exact over the full signed-64 doc_id range).
+
+    Block layout: ``block_id = pmod(doc_id, n_blocks)`` — a BOUNDED hash
+    partition of each term's postings (≤ n_blocks per-block maxima per term)
+    rather than classic contiguous doc ranges.  Contiguity only matters for
+    a sequential pointer-walk WAND; the distributed two-phase formulation in
+    wand.py needs only "every posting's score ≤ its block's max", which any
+    doc partition provides.  Contiguous ranges were tried first and
+    degenerate catastrophically under sparse hash doc ids (one posting per
+    block ⇒ blocks table as large as postings, zero pruning — observed as
+    WAND slower than exhaustive at 400k docs).
 
     Block layout: blocks are DOC-ID RANGES of width ``block_size`` global to
     the corpus (``block_id = doc_id // block_size``) rather than per-term
@@ -428,10 +439,8 @@ def score_and_layout(
             ),
         )
         .withColumn(
-            # exact floor-division by the (power-of-two) block width via
-            # arithmetic shift — safe for full-range int64 hash doc ids
             "block_id",
-            F.shiftright(F.col("doc_id"), block_size.bit_length() - 1),
+            F.pmod(F.col("doc_id"), F.lit(block_size)).cast("int"),
         )
         .withColumn(
             "term_bucket",

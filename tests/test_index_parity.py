@@ -128,11 +128,9 @@ def test_block_max_consistency(spark_index):
         | (F.abs(F.col("m") - F.col("block_max_bm25")) > 1e-12)
     ).count()
     assert bad == 0
-    # doc-range blocks: block_id is doc_id >> log2(block_size)
+    # hash blocks: block_id is pmod(doc_id, n_blocks)
     mis = spark_index["postings"].filter(
         F.col("block_id")
-        != F.shiftright(
-            F.col("doc_id"), indexer.DEFAULT_BLOCK_SIZE.bit_length() - 1
-        )
+        != F.pmod(F.col("doc_id"), F.lit(indexer.DEFAULT_BLOCK_SIZE)).cast("int")
     ).count()
     assert mis == 0

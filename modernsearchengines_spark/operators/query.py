@@ -52,9 +52,17 @@ def query_terms_df(
     )
 
 
-def _minmax_over(col: str, part: str = "qnum"):
-    w = Window.partitionBy(part)
-    return F.min(col).over(w), F.max(col).over(w)
+def _with_minmax(df: DataFrame, col: str, lo: str, hi: str) -> DataFrame:
+    """Attach per-query min/max of ``col`` as columns ``lo``/``hi``.
+
+    NOT a ``Window.partitionBy(qnum)``: that exchange funnels every row of a
+    query into one partition (worst-case skew — a query matching 10^9 docs
+    lands on one reducer).  A groupBy aggregate gets map-side partial
+    min/max and the tiny per-query stats broadcast back."""
+    stats = df.groupBy("qnum").agg(
+        F.min(col).alias(lo), F.max(col).alias(hi)
+    )
+    return df.join(F.broadcast(stats), "qnum")
 
 
 def rank(
@@ -71,19 +79,25 @@ def rank(
     ``prefilter`` (optional) is a (qnum, doc_id) DataFrame from the block-max
     WAND stage (wand.py) restricting exact scoring to surviving candidates.
     """
-    # O-24: broadcast-hash equi join, bucket-pruned on term_bucket.
-    matched = postings.join(
-        F.broadcast(terms), ["term_bucket", "term"], "inner"
-    ).select("qnum", "term", "doc_id", "bm25", "positions", "is_original", "is_tueb")
+    # O-24: broadcast-hash equi join, bucket-pruned on term_bucket.  The fat
+    # positions column is NOT read here — only original-query terms need
+    # positions (Q13 tail note), so a second narrow join below reads them
+    # for that small term subset only (columnar IO win).
+    matched = postings.select(
+        "term_bucket", "term", "doc_id", "bm25"
+    ).join(F.broadcast(terms), ["term_bucket", "term"], "inner")
     if prefilter is not None:
         matched = matched.join(prefilter, ["qnum", "doc_id"], "left_semi")
 
     # Q8: min-max normalize ALL fetched bm25 values per query; silently
     # skipped when max == min (reference retrieval.py:58-67).
-    lo, hi = _minmax_over("bm25")
+    matched = _with_minmax(matched, "bm25", "_blo", "_bhi")
     matched = matched.withColumn(
         "nbm25",
-        F.when(hi > lo, (F.col("bm25") - lo) / (hi - lo)).otherwise(F.col("bm25")),
+        F.when(
+            F.col("_bhi") > F.col("_blo"),
+            (F.col("bm25") - F.col("_blo")) / (F.col("_bhi") - F.col("_blo")),
+        ).otherwise(F.col("bm25")),
     )
 
     w_col = (
@@ -106,10 +120,6 @@ def rank(
             F.sum("w_bm25").alias("s_raw"),
             F.sum("mw").alias("match_count"),
             F.max(F.col("is_tueb").cast("int")).alias("has_tueb"),
-            # Positions only for original-query terms (Q13 tail note).
-            F.collect_list(
-                F.when(F.col("is_original"), F.col("positions"))
-            ).alias("prox_lists"),
         )
         .withColumn(
             "bm25_sum",
@@ -118,19 +128,36 @@ def rank(
         .withColumn("combined", F.col("bm25_sum") * F.log1p("match_count"))
     )
 
+    # Positions for original-query terms only (narrow term subset).
+    orig_terms = terms.filter(F.col("is_original")).select(
+        "term_bucket", "term", "qnum"
+    )
+    prox_src = postings.select(
+        "term_bucket", "term", "doc_id", "positions"
+    ).join(F.broadcast(orig_terms), ["term_bucket", "term"])
+    if prefilter is not None:
+        prox_src = prox_src.join(prefilter, ["qnum", "doc_id"], "left_semi")
+    prox_df = prox_src.groupBy("qnum", "doc_id").agg(
+        F.collect_list("positions").alias("prox_lists")
+    )
+    per_doc = per_doc.join(prox_df, ["qnum", "doc_id"], "left")
+
     # Q11: per-query min-max; all-equal → 0.0 (both normalization sites).
-    clo, chi = _minmax_over("combined")
+    per_doc = _with_minmax(per_doc, "combined", "_clo", "_chi")
     per_doc = per_doc.withColumn(
         "norm_combined",
-        F.when(chi == clo, 0.0).otherwise(
-            (F.col("combined") - clo) / (chi - clo)
+        F.when(F.col("_chi") == F.col("_clo"), 0.0).otherwise(
+            (F.col("combined") - F.col("_clo"))
+            / (F.col("_chi") - F.col("_clo"))
         ),
     )
     per_doc = per_doc.withColumn("prox", min_span_score_udf("prox_lists"))
-    plo, phi = _minmax_over("prox")
+    per_doc = _with_minmax(per_doc, "prox", "_plo", "_phi")
     per_doc = per_doc.withColumn(
         "norm_prox",
-        F.when(phi == plo, 0.0).otherwise((F.col("prox") - plo) / (phi - plo)),
+        F.when(F.col("_phi") == F.col("_plo"), 0.0).otherwise(
+            (F.col("prox") - F.col("_plo")) / (F.col("_phi") - F.col("_plo"))
+        ),
     )
     per_doc = per_doc.withColumn(
         "score", alpha * F.col("norm_combined") + (1 - alpha) * F.col("norm_prox")

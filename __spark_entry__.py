@@ -310,6 +310,30 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3) via 4×16-bit pigeonhole
+    banding + bit_count verification — UDF-bound, rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat each document's text bytes as an opaque
+    binary payload → metadata sniff + mapInPandas feature extraction
+    (deterministic fake decoder; real codec injectable).  Rows-only."""
+    from modernsearchengines_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features(docs)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def q_proximity_2term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-53 (2-term case): minimal window covering one occurrence of each of
     two terms, scored 1/(span/2) like the reference min-span heap scan —
@@ -531,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_counts": q_subword_counts,
         "fingerprint": q_fingerprint,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "media_features": q_media_features,
         "proximity_2term": q_proximity_2term,
         "minspan_proximity_udf": q_minspan_proximity_udf,
         "token_set_ops": q_token_set_ops,

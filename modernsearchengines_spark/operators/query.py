@@ -52,6 +52,21 @@ def query_terms_df(
     )
 
 
+def pruned_postings(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    """Static pushdown for the retrieval scan: the compiled query terms are
+    driver-side and tiny, so emit literal ``term_bucket IN (...)`` and
+    ``term IN (...)`` filters.  The bucket predicate prunes partition
+    directories (the Iceberg bucket-pruning equivalent); the term predicate
+    hits parquet row-group min/max stats.  Relying on runtime DPP for this
+    is fragile — the literal filters make the pruning unconditional."""
+    pairs = terms.select("term_bucket", "term").distinct().collect()
+    buckets = sorted({r.term_bucket for r in pairs})
+    term_list = sorted({r.term for r in pairs})
+    return postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(term_list)
+    )
+
+
 def _with_minmax(df: DataFrame, col: str, lo: str, hi: str) -> DataFrame:
     """Attach per-query min/max of ``col`` as columns ``lo``/``hi``.
 
@@ -79,10 +94,12 @@ def rank(
     ``prefilter`` (optional) is a (qnum, doc_id) DataFrame from the block-max
     WAND stage (wand.py) restricting exact scoring to surviving candidates.
     """
-    # O-24: broadcast-hash equi join, bucket-pruned on term_bucket.  The fat
-    # positions column is NOT read here — only original-query terms need
-    # positions (Q13 tail note), so a second narrow join below reads them
-    # for that small term subset only (columnar IO win).
+    # O-24: broadcast-hash equi join, bucket-pruned on term_bucket via the
+    # static literal filters of pruned_postings.  The fat positions column
+    # is NOT read here — only original-query terms need positions (Q13 tail
+    # note), so a second narrow join below reads them for that small term
+    # subset only (columnar IO win).
+    postings = pruned_postings(postings, terms)
     matched = postings.select(
         "term_bucket", "term", "doc_id", "bm25"
     ).join(F.broadcast(terms), ["term_bucket", "term"], "inner")
@@ -191,6 +208,41 @@ def run_query_batch(
     compiled = [compile_query(qnum, text, expansion) for qnum, text in queries]
     terms = query_terms_df(spark, compiled, term_buckets)
     return rank(index["postings"], terms, index["doc_stats"], top_k=top_k)
+
+
+def search(
+    spark: SparkSession,
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    text: str,
+    top_k: int = 10,
+    need_spellcheck: bool = True,
+    expansion: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Interactive search path (reference main_retrival, retrieval.py:406-422
+    / SURVEY §3.3): spellcheck → compile → rank top-10 → snippet per hit.
+
+    ``docs`` must carry (doc_id, text) for snippet hydration.  Returns
+    (rank, doc_id, url, score, snippet).
+    """
+    from .expansion import spellcheck
+    from .snippets import add_snippets
+
+    corrected = spellcheck(text) if need_spellcheck else text
+    topk = run_query_batch(
+        spark, index, [(1, corrected)], top_k=top_k, expansion=expansion
+    )
+    # Reference snippet query: the processed query sans the injected
+    # "tuebingen" (retrieval.py:416-418).
+    from .expansion import preprocess_query
+
+    snippet_query = " ".join(
+        w for w in preprocess_query(corrected).split() if w != "tuebingen"
+    ) or "tuebingen"
+    queries = spark.createDataFrame([(1, snippet_query)], "qnum int, text string")
+    return add_snippets(topk, docs, queries).select(
+        "rank", "doc_id", "url", "score", "snippet"
+    ).orderBy("rank")
 
 
 def format_batch_results(results: DataFrame) -> DataFrame:

@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 
 
 def _matched(postings: DataFrame, terms: DataFrame) -> DataFrame:
-    return postings.join(
+    from .query import pruned_postings
+
+    return pruned_postings(postings, terms).join(
         F.broadcast(terms.select("term_bucket", "term", "qnum")),
         ["term_bucket", "term"],
     ).select("qnum", "doc_id", "bm25")
@@ -46,6 +48,9 @@ def _matched_light(
     """Light columns only: posting (term, doc_id, block_id) joined with the
     compact blocks table — positions/bm25 columns stay unread (Parquet
     column pruning)."""
+    from .query import pruned_postings
+
+    postings = pruned_postings(postings, terms)
     t = F.broadcast(terms.select("term_bucket", "term", "qnum"))
     narrow = postings.join(t, ["term_bucket", "term"]).select(
         "qnum", "term_bucket", "term", "doc_id", "block_id"

@@ -35,15 +35,26 @@ def test_join_uses_broadcast(spark):
     assert uses_broadcast_join(df)
 
 
-def test_retrieval_join_broadcasts_and_prunes_buckets(spark, docs_df):
+def test_retrieval_join_broadcasts_and_prunes_buckets(spark, docs_df, tmp_path):
     from modernsearchengines_spark.operators import indexer, query
     from modernsearchengines_spark.operators.expansion import compile_query
 
     idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
+    indexer.write_index(idx, str(tmp_path / "idx"))
+    disk = indexer.read_index(spark, str(tmp_path / "idx"))
     terms = query.query_terms_df(spark, [compile_query(1, "castle museum")])
-    ranked = query.rank(idx["postings"], terms, idx["doc_stats"], top_k=10)
+    ranked = query.rank(disk["postings"], terms, disk["doc_stats"], top_k=10)
     plan = formatted_plan(ranked)
     assert "BroadcastHashJoin" in plan
+    # Static literal pruning reaches the scan: the bucket IN-list shows up in
+    # PartitionFilters and the term IN-list in PushedFilters.
+    assert any(
+        "PartitionFilters" in ln and "term_bucket" in ln and " IN " in ln.upper()
+        for ln in plan.splitlines()
+    ), plan[:2000]
+    assert any(
+        "PushedFilters" in ln and "In(term" in ln for ln in plan.splitlines()
+    )
     indexer.unpersist_index(idx)
 
 

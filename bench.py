@@ -107,7 +107,13 @@ def time_index_build(cores: int, corpus_path: str, out_dir: str) -> dict:
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64m"},
     )
     docs = spark.read.parquet(corpus_path)
-    n_input = docs.count()  # warm the scan metadata before the clock starts
+    n_input = docs.count()
+    # Warm the OS page cache over the full input before the clock: the run
+    # order (low cores first) would otherwise hand the high-cores run a warm
+    # cache the low run never had, biasing efficiency downward.
+    from pyspark.sql import functions as F
+
+    docs.agg(F.sum(F.length("text")), F.sum(F.length("html"))).collect()
     t0 = time.time()
     clean = indexer.clean_docs(docs)
     idx = indexer.build_index(spark, clean)

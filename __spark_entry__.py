@@ -512,6 +512,72 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (multi-level totals) with exact decimal sums."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window functions: per-customer order-value delta."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_prev"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_key"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-minute gaps (lag +
+    cumulative sum — the batch formulation of session windows)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        > 1800 * 1_000_000,
+        1,
+    ).otherwise(0)
+    with_sess = events.withColumn("_new", gap).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select("user_id", "session_id", "n_events", "first_event")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation over the events props column."""
     events = _t(spark, sf_dir, "events")
@@ -566,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_by_region": q_supplier_balance_by_region,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "orders_rollup": q_orders_rollup,
+        "window_lag": q_window_lag,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -878,5 +947,38 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
-        # subword_counts, simhash_dedup: UDF/Java-regex-bound → rows-only.
+        "orders_rollup": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        "window_lag": """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0), 2) AS delta_prev,
+       COALESCE(lead(o_orderkey) OVER w, -1) AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "events_sessions": """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM sess GROUP BY user_id, session_id
+""",
+        # subword_counts, simhash_dedup/near_dup, media_features,
+        # minspan_proximity_udf: UDF/Java-regex-bound → rows-only.
     }

@@ -69,14 +69,14 @@ def hw_parallel_ceiling(low: int, high: int) -> dict:
     import multiprocessing as mp
 
     def measure(procs: int) -> float:
-        total = 64_000_000
-        best = float("inf")
-        for _ in range(2):
-            with mp.Pool(procs) as pool:
-                t0 = time.time()
-                pool.map(_spin, [total // procs] * procs)
-                best = min(best, time.time() - t0)
-        return best
+        # Sustained (~3-8s) rather than a sub-second burst: the VM's turbo
+        # boost flatters short bursts, and the engine's stages run for
+        # minutes — calibrate under the load profile being compared.
+        total = 640_000_000
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_spin, [total // procs] * procs)
+            return time.time() - t0
 
     t_low, t_high = measure(low), measure(high)
     return {

@@ -1,0 +1,58 @@
+"""Corpus table maintenance: idempotent append (SURVEY O-11) and incremental
+index refresh.
+
+The reference crawler appends pages with ``INSERT OR IGNORE`` keyed on url
+(/root/reference/WebCrawler_basis.py:26-39,75-81).  The Spark-native
+equivalent over an Iceberg table is ``MERGE INTO docs USING new ON url WHEN
+NOT MATCHED THEN INSERT``; without the Iceberg runtime in this sandbox the
+same observable semantics are a left-anti join + append to the Parquet
+corpus directory — new urls land, existing urls are ignored, re-running the
+same batch is a no-op (exactly-once by key).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append_new_docs(
+    spark: SparkSession, corpus_dir: str, new_docs: DataFrame
+) -> int:
+    """INSERT-OR-IGNORE-by-url append; returns the number of rows added.
+
+    Iceberg DDL equivalent:
+        MERGE INTO docs t USING new_docs s ON t.url = s.url
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    new_docs = new_docs.dropDuplicates(["url"])
+    if os.path.isdir(corpus_dir) and any(
+        name.endswith(".parquet") for name in os.listdir(corpus_dir)
+    ):
+        existing = spark.read.parquet(corpus_dir)
+        to_add = new_docs.join(
+            existing.select("url"), "url", "left_anti"
+        ).select(*existing.columns)
+    else:
+        os.makedirs(corpus_dir, exist_ok=True)
+        to_add = new_docs
+    # Materialize the anti-join into a staging dir BEFORE touching the
+    # target (writing into the directory being scanned would race the read),
+    # then move the staged files in — the poor man's snapshot commit.
+    import shutil
+    import uuid
+
+    staging = os.path.join(corpus_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    to_add.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    if n:
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(staging, name),
+                    os.path.join(corpus_dir, f"batch_{uuid.uuid4().hex[:8]}_{name}"),
+                )
+    shutil.rmtree(staging, ignore_errors=True)
+    return n

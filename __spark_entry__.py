@@ -88,10 +88,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bm25").alias("raw_score"),
         F.count(F.lit(1)).alias("n_terms"),
     )
-    w = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
+    # Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, tiny driver merge) — NOT a global row_number window,
+    # which would funnel every matched doc into one partition.  Rank is
+    # enumerated afterwards over the already-k-bounded 20 rows (the lit(0)
+    # partition key keeps the window spec non-global; the exchange moves 20
+    # rows).
+    top = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(20)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("raw_score"), F.asc("doc_id"))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "doc_id",
@@ -235,7 +241,9 @@ def q_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set Jaccard (portable arithmetic, bit-replayable in SQL)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = dedup.tokens_df(docs, "doc_id", "text")
-    sigs = dedup.minhash_signatures(toks, "doc_id")
+    # dense ids ONLY here so DuckDB can replay the arithmetic; the engine
+    # default is hash ids with no global window (dedup.token_ids).
+    sigs = dedup.minhash_signatures(toks, "doc_id", id_mode="dense_oracle_replay")
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
     jac = dedup.jaccard_pairs(toks, pairs, "doc_id")
     return jac.select(
@@ -332,6 +340,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a deterministic synthetic url per doc (the driver's documents
+    table has no url column); the identical expression is replayed in SQL so
+    the url-based operators are hash-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 23 == 0, ".jpg")
+        .when(F.col("doc_id") % 29 == 0, ".png")
+        .when(F.col("doc_id") % 31 == 0, ".pdf")
+        .otherwise(".html")
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+            F.col("doc_id").cast("string"), suffix,
+        ),
+    )
+
+
+def q_media_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18: drop .jpg/.png/.pdf URLs (reference WebCrawler_basis.py:213-214)
+    via the engine's clean-corpus media filter."""
+    from modernsearchengines_spark.operators import indexer
+
+    docs = _docs_with_urls(spark, sf_dir)
+    return indexer.media_url_filter(docs).select("doc_id", "url")
+
+
+def q_domain_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-43: per-domain page histogram (reference WebCrawler_basis.py:387-401)
+    via parse_url(HOST) + count."""
+    from modernsearchengines_spark.operators import indexer
+
+    docs = _docs_with_urls(spark, sf_dir)
+    return indexer.domain_histogram(docs).select("domain", "n_pages")
 
 
 def q_proximity_2term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,10 +504,12 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.orderBy(F.desc("_rev"), F.asc("n_name"))
+    # Same top-k discipline as q_bm25_topk: orderBy+limit, then enumerate
+    # rank over the 5 surviving rows (no global unpartitioned window).
+    top = rev.orderBy(F.desc("_rev"), F.asc("n_name")).limit(5)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rev"), F.asc("n_name"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "n_name",
@@ -623,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "media_features": q_media_features,
+        "media_url_filter": q_media_url_filter,
+        "domain_histogram": q_domain_histogram,
         "proximity_2term": q_proximity_2term,
         "minspan_proximity_udf": q_minspan_proximity_udf,
         "token_set_ops": q_token_set_ops,
@@ -862,6 +912,33 @@ fp AS (
 )
 SELECT d.doc_id, COALESCE(fp.fp, 0) AS fp
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+        "media_url_filter": """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 23 = 0 THEN '.jpg'
+                   WHEN doc_id % 29 = 0 THEN '.png'
+                   WHEN doc_id % 31 = 0 THEN '.pdf'
+                   ELSE '.html' END AS url
+    FROM documents
+)
+SELECT doc_id, url FROM u
+WHERE NOT (url LIKE '%.jpg' OR url LIKE '%.png' OR url LIKE '%.pdf')
+""",
+        "domain_histogram": """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 23 = 0 THEN '.jpg'
+                   WHEN doc_id % 29 = 0 THEN '.png'
+                   WHEN doc_id % 31 = 0 THEN '.pdf'
+                   ELSE '.html' END AS url
+    FROM documents
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       COUNT(*) AS n_pages
+FROM u GROUP BY 1
 """,
         "proximity_2term": f"""
 WITH {_TOKS_CTE},

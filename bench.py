@@ -309,8 +309,10 @@ def main() -> None:
             "",
             "A perfectly parallel shared-nothing pure-Python spin loop (zero "
             "shuffle, zero IO, zero framework) measures what 4× the worker "
-            "processes can yield on this VM — its cores down-clock under "
-            "load, so NO engine can reach 0.8 raw here:",
+            "processes can yield on this VM (its cores down-clock as load "
+            f"rises): measured ceiling {hw['hw_efficiency']} raw efficiency "
+            "this run. The engine's architecture-attributable number is its "
+            "speedup relative to that measured ceiling:",
             "",
             f"- spin wall at N procs: {hw['spin_wall_low']}s; at 4N procs: "
             f"{hw['spin_wall_high']}s → hardware speedup "

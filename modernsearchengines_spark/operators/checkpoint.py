@@ -130,7 +130,7 @@ def merge_segments(
     out_dir: str,
     n_total: int,
     term_buckets: int = indexer.DEFAULT_TERM_BUCKETS,
-    block_size: int = indexer.DEFAULT_BLOCK_SIZE,
+    n_blocks: int = indexer.DEFAULT_N_BLOCKS,
     df_prune: int = indexer.DF_PRUNE,
 ) -> dict[str, DataFrame]:
     """Finalize the global index from completed segments (SURVEY M3 merge:
@@ -165,7 +165,7 @@ def merge_segments(
         n_total,
         float(avg_doc_len),
         term_buckets,
-        block_size,
+        n_blocks,
         df_prune,
     )
     return {

@@ -72,7 +72,7 @@ def varbyte_encode_batch(arrays: list) -> list[bytes | None]:
     """
     if np is None:
         return [
-            varbyte_encode(sorted(int(x) for x in a)) if a is not None else None
+            varbyte_encode([int(x) for x in a]) if a is not None else None
             for a in arrays
         ]
     lens = np.fromiter(
@@ -81,9 +81,10 @@ def varbyte_encode_batch(arrays: list) -> list[bytes | None]:
     )
     if lens.sum() == 0:
         return [None if a is None else b"" for a in arrays]
-    # Rows must be pre-sorted (array_sort happens JVM-side before the UDF);
-    # unsorted input produces a negative gap and falls back to the scalar
-    # path below, so correctness never depends on the assumption.
+    # Rows must be pre-sorted (array_sort happens JVM-side before the UDF):
+    # ONE contract for both code paths — unsorted input raises ValueError in
+    # the scalar encoder, and the vectorized path detects the negative gap
+    # and defers to that same scalar contract (it never silently sorts).
     vals = [a for a in arrays if a is not None and len(a)]
     flat = np.concatenate(vals).astype(np.int64, copy=False)
     # per-row delta: subtract predecessor, reset at row starts
@@ -95,7 +96,7 @@ def varbyte_encode_batch(arrays: list) -> list[bytes | None]:
     gaps[~starts] = flat[~starts] - flat[np.flatnonzero(~starts) - 1]
     if (gaps < 0).any() or (gaps >= 1 << 28).any():
         return [
-            varbyte_encode(sorted(int(x) for x in a)) if a is not None else None
+            varbyte_encode([int(x) for x in a]) if a is not None else None
             for a in arrays
         ]
     # varint byte counts (little-endian 7-bit groups, continuation bit)

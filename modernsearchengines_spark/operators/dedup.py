@@ -13,13 +13,13 @@ first-class pipeline stage, so this module provides the standard ladder:
   * jaccard_pairs          exact token-set Jaccard over candidate pairs
   * embedding near-dup     see similarity.py (cosine threshold join)
 
-Portability note: the MinHash permutations are affine maps over a DENSE
-TOKEN ID (dense_rank of the token over the corpus vocabulary), not over an
-engine-specific hash function, so the exact same numbers are computable in
-ANSI SQL — that is what makes the DuckDB oracle in __spark_entry__.py able to
-replay them bit-for-bit.  At 100 TB scale the dense-rank vocab pass is one
-extra shuffle over the (small) distinct-token set; swap in xxhash64 when
-cross-engine determinism is not needed.
+Token-id note: the MinHash permutations are affine maps over an integer
+token id.  The DEFAULT id is ``pmod(xxhash64(token), P)`` — a pure column
+expression that scales to any vocabulary size.  A ``dense_oracle_replay``
+mode (dense_rank over the sorted vocabulary) exists ONLY so the DuckDB
+oracle in __spark_entry__.py can replay the exact numbers in ANSI SQL; its
+global window single-partitions the vocabulary and must never be the
+default at scale.
 """
 
 from __future__ import annotations
@@ -37,8 +37,15 @@ BAND_ROWS = 3  # 4 bands × 3 rows
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep-first row per key (reference remove_duplicates keep-first policy,
-    WebCrawler_basis.py:295-303, made deterministic via order_cols)."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    WebCrawler_basis.py:295-303, made deterministic via order_cols).
+
+    The window partitions on ``xxhash64(key_cols)`` FIRST, then the raw key
+    columns: when the key is a full document text, leading with the 8-byte
+    hash keeps the partitioner and almost every sort comparison on a fixed-
+    width long (raw keys are only compared within hash-equal groups), while
+    the trailing raw columns keep the result EXACT under hash collisions.
+    """
+    w = Window.partitionBy(F.xxhash64(*key_cols), *key_cols).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -118,9 +125,26 @@ def tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_ids(tokens: DataFrame) -> DataFrame:
-    """Dense 1-based token ids over the sorted vocabulary (portable)."""
+def token_ids(tokens: DataFrame, mode: str = "hash") -> DataFrame:
+    """Token → integer id for the MinHash permutations.
+
+    ``mode="hash"`` (default): ``token_id = pmod(xxhash64(token), P)`` — a
+    pure column expression with no global window, the only formulation that
+    scales (a dense_rank over the whole vocabulary single-partitions
+    billions of distinct tokens at 100 TB).  Ids land in [0, P), the
+    permutation field.
+
+    ``mode="dense_oracle_replay"``: dense 1-based rank over the sorted
+    vocabulary — arithmetic a DuckDB oracle can replay bit-for-bit
+    (dense_rank is ANSI SQL; xxhash64 is Spark-specific).  ONLY for the
+    contract query / cross-engine verification; the global unpartitioned
+    window is a deliberate, documented scale sacrifice there.
+    """
     vocab = tokens.select("token").distinct()
+    if mode == "hash":
+        return vocab.withColumn(
+            "token_id", F.pmod(F.xxhash64("token"), F.lit(MINHASH_P))
+        )
     w = Window.orderBy("token")
     return vocab.withColumn("token_id", F.dense_rank().over(w).cast("long"))
 
@@ -129,13 +153,16 @@ def minhash_signatures(
     tokens: DataFrame,
     id_col: str,
     num_hashes: int = NUM_HASHES,
+    id_mode: str = "hash",
 ) -> DataFrame:
     """→ (id, hash_idx, minval): K affine-permutation minima per doc.
 
     A_i = 2i+1 (odd, coprime with P), B_i = 1000003·i — fixed, deterministic,
-    replayable in SQL.
+    replayable in SQL.  ``id_mode`` selects the token-id scheme (see
+    :func:`token_ids`) — hash ids by default; dense ids only for oracle
+    replay.
     """
-    ids = F.broadcast(token_ids(tokens))
+    ids = F.broadcast(token_ids(tokens, mode=id_mode))
     with_ids = tokens.join(ids, "token")
     hashes = with_ids.select(
         id_col,

@@ -52,7 +52,10 @@ B = 0.75
 MAX_DOC_CHARS = 800_000
 DF_PRUNE = 5
 DEFAULT_TERM_BUCKETS = 64
-DEFAULT_BLOCK_SIZE = 256  # hash blocks per term for block-max pruning
+DEFAULT_N_BLOCKS = 256  # hash blocks per term for block-max pruning
+# media-URL suffixes the reference excludes from the corpus (O-18,
+# WebCrawler_basis.py:213-214 and the retroactive topic.py:156-174 cleanup)
+MEDIA_URL_SUFFIXES = (".jpg", ".png", ".pdf")
 DF_SALT = 16  # salt fan-out for the head-term df aggregation
 
 TOKEN_TYPE = ArrayType(
@@ -161,13 +164,35 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 # --------------------------------------------------------------------------
 # Cleaning (O-12/O-17/O-28): English filter + exact simhash dedup
 # --------------------------------------------------------------------------
+def media_url_filter(docs: DataFrame) -> DataFrame:
+    """O-18: drop media URLs (.jpg/.png/.pdf) the reference excludes
+    (WebCrawler_basis.py:213-214; retroactively topic.py:156-174).  Exact
+    lowercase suffix match, mirroring the reference's ``str.endswith``."""
+    keep = ~F.col("url").endswith(MEDIA_URL_SUFFIXES[0])
+    for sfx in MEDIA_URL_SUFFIXES[1:]:
+        keep &= ~F.col("url").endswith(sfx)
+    return docs.filter(keep)
+
+
+def domain_histogram(docs: DataFrame) -> DataFrame:
+    """O-43: per-domain page counts (reference WebCrawler_basis.py:387-401
+    crawl diagnostic) — ``groupBy(host).count()``, a map-side-combined
+    aggregation on the (small) distinct-host key space."""
+    return (
+        docs.groupBy(F.parse_url("url", F.lit("HOST")).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
 def clean_docs(docs: DataFrame, derive_text_from_html: bool = False) -> DataFrame:
-    """English-only, simhash-deduped corpus (reference establish_workingDB,
-    WebCrawler_basis.py:311-362; Q12: threshold 0.99 ⟺ exact hash match).
+    """English-only, media-URL-filtered, simhash-deduped corpus (reference
+    establish_workingDB, WebCrawler_basis.py:311-362; Q12: threshold 0.99 ⟺
+    exact hash match; O-18 media exclusion).
 
     Keep-first policy within a duplicate group: min (warc_ts, url) —
     deterministic stand-in for the reference's crawl-insertion order.
     """
+    docs = media_url_filter(docs)
     if derive_text_from_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
     # Spread rows before the first Arrow UDF: a 100 TB scan has thousands of
@@ -278,7 +303,7 @@ def build_index(
     spark: SparkSession,
     clean: DataFrame,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_blocks: int = DEFAULT_N_BLOCKS,
     df_prune: int = DF_PRUNE,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -360,7 +385,7 @@ def build_index(
     )
 
     postings, blocks = score_and_layout(
-        postings_raw, n_total, avg_doc_len, term_buckets, block_size, df_prune
+        postings_raw, n_total, avg_doc_len, term_buckets, n_blocks, df_prune
     )
     return {
         "postings": postings,
@@ -376,7 +401,7 @@ def score_and_layout(
     n_total: int,
     avg_doc_len: float,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_blocks: int = DEFAULT_N_BLOCKS,
     df_prune: int = DF_PRUNE,
 ) -> tuple[DataFrame, DataFrame]:
     """df → IDF → BM25 → df>5 prune → varbyte → block layout.
@@ -386,24 +411,15 @@ def score_and_layout(
     Block layout: ``block_id = pmod(doc_id, n_blocks)`` — a BOUNDED hash
     partition of each term's postings (≤ n_blocks per-block maxima per term)
     rather than classic contiguous doc ranges.  Contiguity only matters for
-    a sequential pointer-walk WAND; the distributed two-phase formulation in
-    wand.py needs only "every posting's score ≤ its block's max", which any
-    doc partition provides.  Contiguous ranges were tried first and
-    degenerate catastrophically under sparse hash doc ids (one posting per
-    block ⇒ blocks table as large as postings, zero pruning — observed as
-    WAND slower than exhaustive at 400k docs).
-
-    Block layout: blocks are DOC-ID RANGES of width ``block_size`` global to
-    the corpus (``block_id = doc_id // block_size``) rather than per-term
-    row-number runs.  A per-term row-number layout needs a window over the
-    term partition — an extra full-row shuffle + two sorts whose cost is
-    dominated by the positions payload, and a skew hazard on head terms.
-    The doc-range layout is a pure column expression; per-block maxima live
-    in a separate compact ``blocks(term, block_id, block_max_bm25)`` table
-    aggregated map-side.  Head terms (the pruning targets) keep dense
-    blocks, so block-max pruning selectivity where it matters is preserved,
-    and doc-range blocks keep the ordered-skip semantics of block-max WAND
-    (Ding & Suel 2011) since ranges are contiguous in doc_id.
+    a sequential pointer-walk WAND; the distributed formulation in wand.py
+    needs only "every posting's score ≤ its block's max", which any doc
+    partition provides — and because block_id depends on doc_id alone, a
+    doc occupies the SAME block id across all terms, letting wand.py compute
+    per-block upper bounds from the compact blocks table without touching
+    postings.  Contiguous ranges were tried first and degenerate
+    catastrophically under sparse hash doc ids (one posting per block ⇒
+    blocks table as large as postings, zero pruning — observed as WAND
+    slower than exhaustive at 400k docs).
     """
     # Document frequency with explicit two-level salted aggregation: head
     # terms ("tuebingen" is in nearly every page by design, R5) would hot-spot
@@ -440,7 +456,7 @@ def score_and_layout(
         )
         .withColumn(
             "block_id",
-            F.pmod(F.col("doc_id"), F.lit(block_size)).cast("int"),
+            F.pmod(F.col("doc_id"), F.lit(n_blocks)).cast("int"),
         )
         .withColumn(
             "term_bucket",

@@ -39,11 +39,17 @@ TOP_K = 100
 
 
 def clean_corpus(rows: list[dict]) -> list[dict]:
-    """English filter + exact simhash dedup (O-12/O-17/O-28, Q12).
+    """Media-URL filter + English filter + exact simhash dedup
+    (O-18/O-12/O-17/O-28, Q12; media exclusion per reference
+    WebCrawler_basis.py:213-214, exact lowercase ``endswith``).
 
     Keep-first policy: first by (warc_ts, url) within each simhash group.
     """
-    english = [r for r in rows if (r["lang"] or "en").startswith("en")]
+    kept = [
+        r for r in rows
+        if not r["url"].endswith((".jpg", ".png", ".pdf"))
+    ]
+    english = [r for r in kept if (r["lang"] or "en").startswith("en")]
     best: dict[int, dict] = {}
     for r in english:
         h = simhash64(r["text"])

@@ -131,6 +131,6 @@ def test_block_max_consistency(spark_index):
     # hash blocks: block_id is pmod(doc_id, n_blocks)
     mis = spark_index["postings"].filter(
         F.col("block_id")
-        != F.pmod(F.col("doc_id"), F.lit(indexer.DEFAULT_BLOCK_SIZE)).cast("int")
+        != F.pmod(F.col("doc_id"), F.lit(indexer.DEFAULT_N_BLOCKS)).cast("int")
     ).count()
     assert mis == 0

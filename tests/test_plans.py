@@ -72,3 +72,26 @@ def test_bm25_topk_aggregates_before_sort(spark):
     df = entrymod.q_bm25_topk(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bm25_topk_uses_partial_topk_not_global_window(spark):
+    # The k-bounding step must be TakeOrderedAndProject (per-partition
+    # partial top-k); any Window node may only run AFTER the limit, i.e. the
+    # plan must not sort the full per-doc set through a single partition.
+    df = entrymod.q_bm25_topk(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_default_token_ids_have_no_global_window(spark, docs_df):
+    from modernsearchengines_spark.operators import dedup
+
+    docs = docs_df.withColumn("doc_id", F.xxhash64("url"))
+    toks = dedup.tokens_df(docs, "doc_id", "text")
+    sigs = dedup.minhash_signatures(toks, "doc_id")  # default: hash ids
+    plan = formatted_plan(sigs)
+    assert "Window" not in plan
+    # and the pipeline still yields verified near-dup pairs end-to-end
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    jac = dedup.jaccard_pairs(toks, pairs, "doc_id")
+    assert jac.filter(F.col("jaccard") >= 0.99).count() > 0  # planted dups

@@ -85,13 +85,24 @@ def build_segments(
         t0 = time.time()
         seg_docs = docs.filter(F.col("_seg") == seg)
         n_docs = seg_docs.count()
-        indexable = seg_docs.filter(F.length("text") <= indexer.MAX_DOC_CHARS)
         # One Arrow crossing per segment: the enriched (doc stats + local
         # postings) table IS the committed segment artifact; everything else
-        # derives from the written parquet at merge time.
+        # derives from the written parquet at merge time.  Length-capped
+        # docs ride along with NULL-gated text exactly as in
+        # indexer.build_index — they stay in the segment's doc stats (and
+        # hence in N / avg_doc_len, Q2/Q3) with doc_len=0 / NULL aug_len,
+        # so the checkpointed and single-shot builds return identical
+        # doc_stats (the reference keeps all pages in its pages table).
         (
-            indexable.withColumn(
-                "dp", indexer.doc_postings_udf("url", "text")
+            seg_docs.withColumn(
+                "dp",
+                indexer.doc_postings_udf(
+                    "url",
+                    F.when(
+                        F.length("text") <= indexer.MAX_DOC_CHARS,
+                        F.col("text"),
+                    ),
+                ),
             )
             .select(
                 "doc_id", "url", "warc_ts",
@@ -129,18 +140,35 @@ def merge_segments(
     spark: SparkSession,
     out_dir: str,
     n_total: int,
+    n_segments: int,
     term_buckets: int = indexer.DEFAULT_TERM_BUCKETS,
     n_blocks: int = indexer.DEFAULT_N_BLOCKS,
     df_prune: int = indexer.DF_PRUNE,
 ) -> dict[str, DataFrame]:
     """Finalize the global index from completed segments (SURVEY M3 merge:
-    unionByName + re-aggregation; df/IDF/BM25 need corpus-global stats)."""
-    manifest = read_manifest(out_dir)
-    missing = [s for s, r in manifest.items() if r["status"] != "done"]
-    if missing:
-        raise RuntimeError(f"segments not done: {missing}")
+    unionByName + re-aggregation; df/IDF/BM25 need corpus-global stats).
 
-    enriched = spark.read.parquet(f"{out_dir}/enriched")
+    Validation is against the EXPECTED segment count, not just the manifest
+    rows that happen to exist: a crash between a segment's (partial)
+    parquet write and its manifest commit leaves a directory without a
+    'done' row, and a blind read of ``enriched/`` would silently fold that
+    partial data into the index.  Only directories with a committed 'done'
+    manifest row are read.
+    """
+    manifest = read_manifest(out_dir)
+    done = sorted(
+        s for s, r in manifest.items() if r["status"] == "done"
+    )
+    missing = [s for s in range(n_segments) if s not in set(done)]
+    if missing:
+        raise RuntimeError(
+            f"cannot merge: segments without a committed manifest row: "
+            f"{missing} (of {n_segments})"
+        )
+    enriched = (
+        spark.read.option("basePath", f"{out_dir}/enriched")
+        .parquet(*[f"{out_dir}/enriched/segment={s}" for s in done])
+    )
     doc_stats = enriched.select(
         "doc_id", "url", "warc_ts", "aug_len", "doc_len", "segment"
     )
@@ -191,4 +219,4 @@ def build_index_checkpointed(
     manifest = read_manifest(out_dir)
     if len([r for r in manifest.values() if r["status"] == "done"]) < n_segments:
         return None
-    return merge_segments(spark, out_dir, n_total)
+    return merge_segments(spark, out_dir, n_total, n_segments)

@@ -464,9 +464,13 @@ def score_and_layout(
         )
     )
 
+    # Persisted layout stores ONLY the compressed blob (SURVEY schema): the
+    # raw int array is dropped after encoding — keeping both would double
+    # position storage for nothing.  Consumers decode via
+    # proximity.min_span_score_vb_udf / codec.varbyte_decode_udf.
     postings = scored.withColumn(
         "positions_vb", varbyte_encode_udf(F.array_sort("positions"))
-    ).drop("doc_len")
+    ).drop("doc_len", "positions")
 
     blocks = scored.groupBy("term_bucket", "term", "block_id").agg(
         F.max("bm25").alias("block_max_bm25")

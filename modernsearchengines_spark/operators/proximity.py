@@ -49,3 +49,25 @@ def min_span_score_udf(lists: pd.Series) -> pd.Series:
             [list(a) for a in arrs] if arrs is not None else []
         )
     )
+
+
+@F.pandas_udf(DoubleType())
+def min_span_score_vb_udf(blobs: pd.Series) -> pd.Series:
+    """Min-span over varbyte-compressed position blobs (array<binary>).
+
+    The persisted postings table stores ONLY the delta+varbyte blob (the raw
+    int array would double position storage at 10^12 docs); decoding inside
+    the scoring UDF keeps decode+scan a single Arrow crossing instead of a
+    separate decode UDF stage shipping the inflated arrays back through the
+    JVM.  Char-offset positions are emitted in increasing order, so the
+    decoded (sorted) list IS the appearance order the heap scan expects.
+    """
+    from .codec import varbyte_decode
+
+    return blobs.map(
+        lambda bs: min_span_score(
+            [varbyte_decode(bytes(b)) for b in bs if b is not None]
+            if bs is not None
+            else []
+        )
+    )

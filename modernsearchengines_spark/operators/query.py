@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .expansion import TUEBINGEN_TERMS, CompiledQuery, compile_query
 from .indexer import DEFAULT_TERM_BUCKETS
-from .proximity import min_span_score_udf
+from .proximity import min_span_score_vb_udf
 
 ALPHA = 0.8
 TOP_K = 100
@@ -145,38 +145,49 @@ def rank(
         .withColumn("combined", F.col("bm25_sum") * F.log1p("match_count"))
     )
 
-    # Positions for original-query terms only (narrow term subset).
+    # Positions for original-query terms only (narrow term subset); the
+    # stored form is the varbyte blob — collected as-is and decoded inside
+    # the scoring UDF (single Arrow crossing, blobs stay compressed through
+    # the shuffle).
     orig_terms = terms.filter(F.col("is_original")).select(
         "term_bucket", "term", "qnum"
     )
     prox_src = postings.select(
-        "term_bucket", "term", "doc_id", "positions"
+        "term_bucket", "term", "doc_id", "positions_vb"
     ).join(F.broadcast(orig_terms), ["term_bucket", "term"])
     if prefilter is not None:
         prox_src = prox_src.join(prefilter, ["qnum", "doc_id"], "left_semi")
     prox_df = prox_src.groupBy("qnum", "doc_id").agg(
-        F.collect_list("positions").alias("prox_lists")
+        F.collect_list("positions_vb").alias("prox_lists")
     )
     per_doc = per_doc.join(prox_df, ["qnum", "doc_id"], "left")
 
-    # Q11: per-query min-max; all-equal → 0.0 (both normalization sites).
-    per_doc = _with_minmax(per_doc, "combined", "_clo", "_chi")
+    # Q11: per-query min-max for BOTH normalization sites (combined and
+    # prox) in ONE stats pass: prox is computed first, then a single
+    # groupBy(qnum) aggregate produces all four extrema and broadcasts
+    # back.  (Three separate _with_minmax rounds each re-walked the per-doc
+    # lineage; fusing them halves the post-aggregation passes — the bm25
+    # min-max above cannot fuse, Q8 requires it before the weight ladder.)
+    per_doc = per_doc.withColumn("prox", min_span_score_vb_udf("prox_lists"))
+    stats = per_doc.groupBy("qnum").agg(
+        F.min("combined").alias("_clo"),
+        F.max("combined").alias("_chi"),
+        F.min("prox").alias("_plo"),
+        F.max("prox").alias("_phi"),
+    )
+    per_doc = per_doc.join(F.broadcast(stats), "qnum")
     per_doc = per_doc.withColumn(
         "norm_combined",
         F.when(F.col("_chi") == F.col("_clo"), 0.0).otherwise(
             (F.col("combined") - F.col("_clo"))
             / (F.col("_chi") - F.col("_clo"))
         ),
-    )
-    per_doc = per_doc.withColumn("prox", min_span_score_udf("prox_lists"))
-    per_doc = _with_minmax(per_doc, "prox", "_plo", "_phi")
-    per_doc = per_doc.withColumn(
+    ).withColumn(
         "norm_prox",
         F.when(F.col("_phi") == F.col("_plo"), 0.0).otherwise(
             (F.col("prox") - F.col("_plo")) / (F.col("_phi") - F.col("_plo"))
         ),
-    )
-    per_doc = per_doc.withColumn(
+    ).withColumn(
         "score", alpha * F.col("norm_combined") + (1 - alpha) * F.col("norm_prox")
     )
 

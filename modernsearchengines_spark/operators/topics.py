@@ -76,6 +76,32 @@ def fit_topics(
     return {"cv": cv, "idf": idf, "lda": lda}, assignments
 
 
+def save_topics(bundle, path: str) -> None:
+    """O-15 model artifact IO: persist the fitted CV/IDF/LDA models via the
+    pyspark.ml native writers (the reference pickles its sklearn models,
+    topic.py:36-47; ML writer directories are the Spark-native equivalent —
+    they serialize to distributed parquet, not a driver-memory pickle)."""
+    bundle["cv"].write().overwrite().save(f"{path}/cv")
+    bundle["idf"].write().overwrite().save(f"{path}/idf")
+    bundle["lda"].write().overwrite().save(f"{path}/lda")
+
+
+def load_topics(spark, path: str) -> dict:
+    """Inverse of :func:`save_topics`; returns the same bundle shape."""
+    from pyspark.ml.clustering import DistributedLDAModel, LocalLDAModel
+    from pyspark.ml.feature import CountVectorizerModel, IDFModel
+
+    try:
+        lda = LocalLDAModel.load(f"{path}/lda")
+    except Exception:  # EM optimizer persists a distributed model
+        lda = DistributedLDAModel.load(f"{path}/lda")
+    return {
+        "cv": CountVectorizerModel.load(f"{path}/cv"),
+        "idf": IDFModel.load(f"{path}/idf"),
+        "lda": lda,
+    }
+
+
 def topic_terms(bundle, n_terms: int = 5) -> list[list[str]]:
     """Human-readable descriptors: top terms per topic (reference
     print_topics analogue, topic.py:87-106)."""

@@ -86,8 +86,11 @@ def test_doc_lengths_match(spark_index, oracle_index):
 
 
 def test_postings_match_oracle(spark_index, oracle_index):
+    # Persisted schema stores positions ONLY as the varbyte blob — the raw
+    # int array must not survive into the index table.
+    assert "positions" not in spark_index["postings"].columns
     rows = spark_index["postings"].select(
-        "term", "doc_id", "tf", "df", "positions", "positions_vb", "bm25"
+        "term", "doc_id", "tf", "df", "positions_vb", "bm25"
     ).collect()
     got = {(r.term, r.doc_id): r for r in rows}
     expected = {
@@ -98,12 +101,14 @@ def test_postings_match_oracle(spark_index, oracle_index):
     assert set(got) == set(expected)
     for key, row in got.items():
         exp_bm25, exp_positions = expected[key]
-        assert row.positions == exp_positions, key
         assert row.tf == len(exp_positions), key
         assert row.df == len(oracle_index.postings[key[0]]), key
         assert math.isclose(row.bm25, exp_bm25, rel_tol=0, abs_tol=1e-9), key
-        # codec: stored binary decodes to the sorted position set
-        assert varbyte_decode(bytes(row.positions_vb)) == sorted(exp_positions)
+        # codec round-trip: the blob decodes to the oracle's position list
+        # (char offsets are emitted in increasing order, so the sorted
+        # decode IS the appearance order).
+        assert varbyte_decode(bytes(row.positions_vb)) == exp_positions, key
+        assert exp_positions == sorted(exp_positions), key
 
 
 def test_df_prune_applied(spark_index):

@@ -59,6 +59,19 @@ def test_partial_build_then_resume_identical(spark, clean, tmp_path):
     assert math.isclose(
         seg_stats.avg_doc_len, one_stats.avg_doc_len, abs_tol=1e-9
     )
+    # doc_stats agree too — length-capped docs must appear in BOTH builds
+    # (NULL aug_len, doc_len 0), not vanish from the segmented one.
+    def _doc_stats_sig(idx):
+        return {
+            r.doc_id: (r.url, r.aug_len, r.doc_len)
+            for r in idx["doc_stats"].collect()
+        }
+
+    assert _doc_stats_sig(result) == _doc_stats_sig(single)
+    capped = [
+        r for r in result["doc_stats"].collect() if r.aug_len is None
+    ]
+    assert capped, "fixture's >800k-char doc should be present but unindexed"
 
 
 def test_resume_is_noop_when_complete(spark, clean, tmp_path):
@@ -67,6 +80,27 @@ def test_resume_is_noop_when_complete(spark, clean, tmp_path):
     docs = indexer.assign_doc_ids(clean)
     written = checkpoint.build_segments(spark, docs, out, n_segments=2)
     assert written == []  # nothing rebuilt
+
+
+def test_merge_refuses_partial_uncommitted_segment(spark, clean, tmp_path):
+    """A segment directory whose parquet write completed (fully or
+    partially) before the crash but whose manifest row was never committed
+    must FAIL the merge, not be silently folded in."""
+    out = str(tmp_path / "segidx3")
+    checkpoint.build_index_checkpointed(
+        spark, clean, out, n_segments=4, fail_after=2
+    )
+    # simulate: segment 2's data landed but its manifest commit did not
+    import os
+    import shutil
+
+    done_dirs = sorted(
+        d for d in os.listdir(f"{out}/enriched") if d.startswith("segment=")
+    )
+    src = f"{out}/enriched/{done_dirs[0]}"
+    shutil.copytree(src, f"{out}/enriched/segment=2")
+    with pytest.raises(RuntimeError, match="without a committed manifest"):
+        checkpoint.merge_segments(spark, out, clean.count(), n_segments=4)
 
 
 def test_segment_assignment_is_deterministic(spark, clean):

@@ -74,3 +74,21 @@ def test_lda_topics_structure(spark, docs_df):
         assert abs(sum(r.weights) - 1.0) < 1e-6
     terms = topics.topic_terms(bundle, 4)
     assert len(terms) == 5 and all(len(t) <= 4 for t in terms)
+
+
+def test_topics_model_save_load_roundtrip(spark, docs_df, tmp_path):
+    """O-15: persisted CV/IDF/LDA reload to the identical topic model."""
+    from modernsearchengines_spark.operators import indexer, topics
+
+    docs = (
+        indexer.clean_docs(docs_df)
+        .withColumn("doc_id", F.xxhash64("url"))
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    bundle, _ = topics.fit_topics(docs, k=4)
+    path = str(tmp_path / "topic_models")
+    topics.save_topics(bundle, path)
+    reloaded = topics.load_topics(spark, path)
+    assert reloaded["cv"].vocabulary == bundle["cv"].vocabulary
+    assert topics.topic_terms(reloaded, 5) == topics.topic_terms(bundle, 5)

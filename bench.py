@@ -126,8 +126,18 @@ def time_index_build(cores: int, corpus_path: str, out_dir: str) -> dict:
     spark = get_spark(
         f"bench-index-{cores}",
         cores=cores,
-        shuffle_partitions=2 * cores,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64m"},
+        # 4x cores + no AQE coalescing for the BUILD session: the tokenize
+        # and posting stages are Python-CPU-bound, and AQE's byte-based
+        # coalescing (222 MB shuffle → ~44 partitions) leaves a ragged
+        # second wave on 32 cores (measured 19.4s wall vs 13.7s ideal for
+        # the doc_postings stage).  Fine, even task grain restores the
+        # smooth waves; on a real cluster the same two confs go in
+        # spark-submit.  Relational/query sessions keep AQE coalescing on.
+        shuffle_partitions=4 * cores,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "64m",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
     docs = spark.read.parquet(corpus_path)
     n_input = docs.count()

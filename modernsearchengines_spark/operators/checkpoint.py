@@ -3,7 +3,7 @@
 checkpoint at /root/reference/WebCrawler_basis.py:13-24).
 
 The corpus is split into ``n_segments`` deterministic url-hash segments.
-Each segment's RAW postings (term, doc_id, tf, positions — no corpus-global
+Each segment's RAW postings (term, doc_id, tf, positions_vb — no corpus-global
 stats yet) and doc stats are built and committed independently; a
 ``_segments`` manifest row records lineage + metrics (n_docs, n_tokens,
 n_postings, wall_ms, status).  A crashed build resumes by skipping segments
@@ -186,19 +186,21 @@ def merge_segments(
         "doc_len",
         F.col("p.term").alias("term"),
         F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
+        F.col("p.positions_vb").alias("positions_vb"),
     )
-    postings, blocks = indexer.score_and_layout(
+    postings, blocks, terms = indexer.score_and_layout(
         postings_with_len,
         n_total,
         float(avg_doc_len),
         term_buckets,
         n_blocks,
         df_prune,
+        term_df=indexer.term_doc_frequency(enriched),
     )
     return {
         "postings": postings,
         "blocks": blocks,
+        "terms": terms,
         "doc_stats": doc_stats.drop("segment"),
         "corpus_stats": corpus_stats,
     }

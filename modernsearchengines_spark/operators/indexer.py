@@ -5,10 +5,11 @@ the Arrow-vectorized UDFs marked *; ONE map-side job builds local postings):
 
     docs ──derive text from html (*extract)──filter(lang)──dedup(*simhash)
          ──doc_id = xxhash64(url)──length-cap gate (Q2/Q3)
-         ──*doc_postings (url-words Q4 + tokenize + per-doc term agg,
-            a single Arrow crossing, NO token shuffle)──parquet segment
-    then: stats (one agg) ── flatten ── salted df agg [two-level, head-term
-    skew R5] ── IDF/BM25 column exprs ── df>5 prune ── *varbyte ──
+         ──*doc_postings (url-words Q4 + tokenize + per-doc term agg +
+            varbyte position encode — the ONE Arrow crossing of the whole
+            build, NO token shuffle)──parquet segment
+    then (pure JVM): stats (one agg) ── flatten ── salted df agg [two-level,
+    head-term skew R5] ── IDF/BM25 column exprs ── df>5 prune ──
     hash-block ids ── write bucketed by term ── blocks table from the
     written postings (narrow columnar read)
 
@@ -36,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -45,7 +47,7 @@ from pyspark.sql.types import (
 
 from ..functions.simhash import simhash64
 from ..functions.tokenizer import tokenize, url_to_words
-from .codec import varbyte_encode_udf
+from .codec import varbyte_encode_batch
 
 K1 = 1.5
 B = 0.75
@@ -99,7 +101,7 @@ DOC_POSTINGS_TYPE = StructType(
                     [
                         StructField("term", StringType()),
                         StructField("tf", IntegerType()),
-                        StructField("positions", ArrayType(IntegerType())),
+                        StructField("positions_vb", BinaryType()),
                     ]
                 )
             ),
@@ -111,41 +113,59 @@ DOC_POSTINGS_TYPE = StructType(
 @F.pandas_udf(DOC_POSTINGS_TYPE)
 def doc_postings_udf(url: pd.Series, text: pd.Series) -> pd.DataFrame:
     """Map-side posting construction: URL-word augmentation (Q4), tokenize,
-    and per-doc (term → tf, positions) aggregation INSIDE one Arrow batch.
+    per-doc (term → tf, positions) aggregation, AND delta+varbyte position
+    encoding, all INSIDE one Arrow batch.
 
     The tokens of a document are colocated by definition, so grouping them
     needs no shuffle — the naive tokenize→explode→groupBy(term, doc_id) plan
     shuffles every token row (~2× posting count) for an aggregation that is
     free map-side.  This is the classic per-partition local-index build; the
     only remaining shuffles in the whole pipeline are the (small) term-df
-    aggregation.  Folding url_to_words in here keeps the pipeline at ONE
-    Arrow crossing (a separate url_words UDF would force a second
-    ArrowEvalPython stage through which the full text column travels).
+    aggregation.  Folding url_to_words AND the varbyte encoder in here keeps
+    the whole index build at ONE Arrow crossing: a downstream encode UDF
+    (the round-1 design) shipped all ~36M exploded posting rows to Python
+    and back a second time, costing ~10s of a 22s scoring phase at 32 cores
+    — while this stage's tokenizer already holds every position in Python
+    for free.  Downstream (flatten → df agg → BM25 → write) is now pure JVM.
 
     Outputs per doc: aug_len = char length of url words + " " + text
     (Q1/Q2 avg_doc_len numerator), doc_len = token count (Q1), postings in
-    appearance order (Q5).
+    appearance order with ``positions_vb`` = varbyte(sorted char offsets)
+    (Q5; sorted is the persisted-index contract, test_index_parity).
     """
 
     def one(u: str, t: str | None):
         if t is None:  # length-capped doc: counted in N, not indexed (Q2/Q3)
-            return (None, 0, [])
+            return (None, 0, {})
         aug = url_to_words(u) + " " + t
         toks = tokenize(aug)
         agg: dict[str, list[int]] = {}
         for term, pos in toks:
             agg.setdefault(term, []).append(pos)
-        return (
-            len(aug),
-            len(toks),
+        return (len(aug), len(toks), agg)
+
+    rows = [one(u, t) for u, t in zip(url, text)]
+    # One vectorized encode over every position list in the batch (offsets
+    # are near-sorted already — Timsort makes the chunk-boundary resets
+    # cheap; sorting precedes encoding per the persisted-index contract).
+    all_lists: list[list[int]] = []
+    for _, _, agg in rows:
+        for ps in agg.values():
+            ps.sort()
+            all_lists.append(ps)
+    blobs = iter(varbyte_encode_batch(all_lists))
+    out = [
+        (
+            aug_len,
+            doc_len,
             [
-                {"term": term, "tf": len(ps), "positions": ps}
+                {"term": term, "tf": len(ps), "positions_vb": next(blobs)}
                 for term, ps in agg.items()
             ],
         )
-
-    rows = [one(u, t) for u, t in zip(url, text)]
-    return pd.DataFrame(rows, columns=["aug_len", "doc_len", "postings"])
+        for aug_len, doc_len, agg in rows
+    ]
+    return pd.DataFrame(out, columns=["aug_len", "doc_len", "postings"])
 
 
 @F.pandas_udf(LongType())
@@ -299,6 +319,33 @@ def tokenize_docs(docs_with_ids: DataFrame) -> DataFrame:
     )
 
 
+def term_doc_frequency(enriched: DataFrame, df_salt: int = DF_SALT) -> DataFrame:
+    """(term, df) from the enriched segment via a NARROW nested scan.
+
+    Document frequency needs only ``postings.term`` — extracting the term
+    subfield BEFORE the explode lets Parquet nested-schema pruning skip the
+    fat positions_vb blobs entirely, so this pass streams a few MB of
+    dictionary-encoded strings instead of the whole segment.  Keeping it a
+    separate scan (instead of forking the one fat flatten) matters under
+    AQE: forked branches of a shared exchange materialize as two full
+    shuffles of the wide posting rows (measured: two ~4-5s × 32-task stages
+    at 400k docs), while this narrow re-scan costs less than either.
+
+    Two-level salted aggregation for head-term skew (R5: "tuebingen" is in
+    nearly every doc by design): pre-aggregate per (term, salt-of-doc_id),
+    then merge the ≤ df_salt partials per term.  Exact counts.
+    """
+    terms = enriched.select(
+        "doc_id", F.explode(F.col("postings.term")).alias("term")
+    )
+    salted = (
+        terms.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(df_salt)))
+        .groupBy("term", "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial_df"))
+    )
+    return salted.groupBy("term").agg(F.sum("_partial_df").alias("df"))
+
+
 def build_index(
     spark: SparkSession,
     clean: DataFrame,
@@ -316,7 +363,7 @@ def build_index(
         doc-id assignment never re-runs and ids are consistent across
         branches by construction;
       * the expensive tokenize UDF is evaluated EXACTLY ONCE: the compact
-        (term, doc_id, tf, positions) aggregate is persisted and doc lengths
+        (term, doc_id, tf, positions_vb) aggregate is persisted and doc lengths
         are derived from it (``doc_len = Σ tf``) instead of re-tokenizing;
       * at cluster scale the persists become parquet segment writes — that
         is precisely the checkpoint.py path; this in-memory variant keeps
@@ -372,6 +419,8 @@ def build_index(
     )
 
     # Flatten to posting rows; doc_len rides along (no doc-stats join later).
+    # This fat scan (blobs included) runs exactly ONCE — the df aggregation
+    # uses its own narrow term-only scan (term_doc_frequency).
     postings_raw = enriched.select(
         "doc_id",
         "doc_len",
@@ -381,15 +430,17 @@ def build_index(
         "doc_len",
         F.col("p.term").alias("term"),
         F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
+        F.col("p.positions_vb").alias("positions_vb"),
     )
 
-    postings, blocks = score_and_layout(
-        postings_raw, n_total, avg_doc_len, term_buckets, n_blocks, df_prune
+    postings, blocks, terms = score_and_layout(
+        postings_raw, n_total, avg_doc_len, term_buckets, n_blocks, df_prune,
+        term_df=term_doc_frequency(enriched),
     )
     return {
         "postings": postings,
         "blocks": blocks,
+        "terms": terms,
         "doc_stats": doc_stats,
         "corpus_stats": corpus_stats,
         "_enriched": enriched,
@@ -403,10 +454,34 @@ def score_and_layout(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     n_blocks: int = DEFAULT_N_BLOCKS,
     df_prune: int = DF_PRUNE,
-) -> tuple[DataFrame, DataFrame]:
-    """df → IDF → BM25 → df>5 prune → varbyte → block layout.
+    term_df: DataFrame | None = None,
+    broadcast_terms: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """df → IDF → BM25 → df>5 prune → block layout (pure JVM — positions
+    arrive already varbyte-encoded from doc_postings_udf).
 
-    ``postings_raw`` must carry (term, doc_id, tf, positions, doc_len).
+    Returns ``(postings, blocks, terms)``.  Per-term attributes (df, idf)
+    are NORMALIZED OUT of the fat postings table into the compact ``terms``
+    table: repeating two 8-byte per-term constants on every posting row
+    inflated the layout shuffle + parquet by ~30% for values any consumer
+    can re-join from a table 100× smaller (measured at 400k docs: 1.26 GB
+    layout exchange with them, and nothing in query.py/wand.py reads them
+    per-posting — bm25 is already materialized).
+
+    ``postings_raw`` must carry (term, doc_id, tf, positions_vb, doc_len).
+    Callers holding the enriched segment table should pass
+    ``term_df=term_doc_frequency(enriched)`` so the df pass reads only the
+    term subfield; the fallback here derives df from ``postings_raw``
+    itself, which re-evaluates that (possibly fat) subtree a second time.
+
+    ``broadcast_terms``: hint the postings⨝terms join to broadcast.  The
+    static planner cannot estimate the aggregated term table's size and
+    plans a sort-merge join, which materializes a full shuffle of the fat
+    posting rows before AQE's runtime broadcast conversion can kick in
+    (measured: an 890 MB dead exchange at 400k docs).  Vocabulary grows
+    sublinearly (Heaps' law): ~400k terms here, and an estimated few GB at
+    10^12 docs — set False past ~10^10 docs and let AQE + skew-join handle
+    the merge join instead.
 
     Block layout: ``block_id = pmod(doc_id, n_blocks)`` — a BOUNDED hash
     partition of each term's postings (≤ n_blocks per-block maxima per term)
@@ -421,19 +496,19 @@ def score_and_layout(
     blocks table as large as postings, zero pruning — observed as WAND
     slower than exhaustive at 400k docs).
     """
-    # Document frequency with explicit two-level salted aggregation: head
-    # terms ("tuebingen" is in nearly every page by design, R5) would hot-spot
-    # a single reducer; pre-aggregate per (term, salt), then merge. Exact.
-    salted = (
-        postings_raw.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(DF_SALT))
+    if term_df is None:
+        # Fallback: derive df from the posting rows themselves (same
+        # two-level salted agg as term_doc_frequency, R5 head-term skew).
+        salted = (
+            postings_raw.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(DF_SALT))
+            )
+            .groupBy("term", "_salt")
+            .agg(F.count(F.lit(1)).alias("_partial_df"))
         )
-        .groupBy("term", "_salt")
-        .agg(F.count(F.lit(1)).alias("_partial_df"))
-    )
-    term_df = salted.groupBy("term").agg(
-        F.sum("_partial_df").alias("df")
-    )
+        term_df = salted.groupBy("term").agg(
+            F.sum("_partial_df").alias("df")
+        )
 
     pruned_terms = term_df.filter(F.col("df") > df_prune).withColumn(
         "idf",
@@ -441,9 +516,10 @@ def score_and_layout(
             (F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ),
     )
+    join_side = F.broadcast(pruned_terms) if broadcast_terms else pruned_terms
 
     scored = (
-        postings_raw.join(pruned_terms, "term")
+        postings_raw.join(join_side, "term")
         .withColumn(
             "bm25",
             F.col("idf")
@@ -464,18 +540,20 @@ def score_and_layout(
         )
     )
 
-    # Persisted layout stores ONLY the compressed blob (SURVEY schema): the
-    # raw int array is dropped after encoding — keeping both would double
-    # position storage for nothing.  Consumers decode via
-    # proximity.min_span_score_vb_udf / codec.varbyte_decode_udf.
-    postings = scored.withColumn(
-        "positions_vb", varbyte_encode_udf(F.array_sort("positions"))
-    ).drop("doc_len", "positions")
+    # Persisted layout stores ONLY the compressed blob (SURVEY schema),
+    # already encoded upstream in doc_postings_udf.  Consumers decode via
+    # proximity.min_span_score_vb_udf / codec.varbyte_decode_udf.  df/idf
+    # live in the terms table, not on every posting row.
+    postings = scored.drop("doc_len", "df", "idf")
 
     blocks = scored.groupBy("term_bucket", "term", "block_id").agg(
         F.max("bm25").alias("block_max_bm25")
     )
-    return postings, blocks
+    terms = pruned_terms.withColumn(
+        "term_bucket",
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
+    )
+    return postings, blocks, terms
 
 
 def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
@@ -500,6 +578,12 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out_dir}/blocks")
     )
+    if "terms" in index:
+        # Same bucket layout as postings (a global single-file write would
+        # bottleneck at billion-term vocabularies).
+        index["terms"].repartition("term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(f"{out_dir}/terms")
     index["doc_stats"].write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     index["corpus_stats"].write.mode("overwrite").parquet(
         f"{out_dir}/corpus_stats"
@@ -516,9 +600,14 @@ def unpersist_index(index: dict[str, DataFrame]) -> None:
 
 
 def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    return {
+    import os
+
+    index = {
         "postings": spark.read.parquet(f"{out_dir}/postings"),
         "blocks": spark.read.parquet(f"{out_dir}/blocks"),
         "doc_stats": spark.read.parquet(f"{out_dir}/doc_stats"),
         "corpus_stats": spark.read.parquet(f"{out_dir}/corpus_stats"),
     }
+    if os.path.isdir(f"{out_dir}/terms"):  # absent in pre-terms-table layouts
+        index["terms"] = spark.read.parquet(f"{out_dir}/terms")
+    return index

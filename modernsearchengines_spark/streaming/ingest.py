@@ -21,7 +21,7 @@ from ..operators import indexer
 
 
 def raw_postings_for_batch(batch_df: DataFrame, epoch_id: int) -> DataFrame:
-    """Cleaned micro-batch → raw (term, doc_id, tf, positions) postings.
+    """Cleaned micro-batch → raw (term, doc_id, tf, positions_vb) postings.
 
     doc_id here is the stable xxhash64(url) (a streaming batch cannot assign
     global dense ranks); the merge pass can re-map ids if dense ids are
@@ -36,7 +36,7 @@ def raw_postings_for_batch(batch_df: DataFrame, epoch_id: int) -> DataFrame:
             "doc_id",
             F.col("p.term").alias("term"),
             F.col("p.tf").alias("tf"),
-            F.col("p.positions").alias("positions"),
+            F.col("p.positions_vb").alias("positions_vb"),
         )
     )
 

@@ -108,4 +108,4 @@ def test_streaming_ingest_foreachbatch(spark, docs_parquet, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "out" / "raw_postings"))
     assert out.count() > 0
-    assert {"term", "doc_id", "tf", "positions"} <= set(out.columns)
+    assert {"term", "doc_id", "tf", "positions_vb"} <= set(out.columns)

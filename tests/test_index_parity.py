@@ -87,9 +87,14 @@ def test_doc_lengths_match(spark_index, oracle_index):
 
 def test_postings_match_oracle(spark_index, oracle_index):
     # Persisted schema stores positions ONLY as the varbyte blob — the raw
-    # int array must not survive into the index table.
+    # int array must not survive into the index table — and per-term df/idf
+    # live in the normalized terms table, not on every posting row.
     assert "positions" not in spark_index["postings"].columns
-    rows = spark_index["postings"].select(
+    assert "df" not in spark_index["postings"].columns
+    assert "idf" not in spark_index["postings"].columns
+    rows = spark_index["postings"].join(
+        spark_index["terms"].select("term", "df"), "term"
+    ).select(
         "term", "doc_id", "tf", "df", "positions_vb", "bm25"
     ).collect()
     got = {(r.term, r.doc_id): r for r in rows}
@@ -113,7 +118,12 @@ def test_postings_match_oracle(spark_index, oracle_index):
 
 def test_df_prune_applied(spark_index):
     """Q6: persisted index has no term with df ≤ 5."""
-    assert spark_index["postings"].filter(F.col("df") <= 5).count() == 0
+    assert spark_index["terms"].filter(F.col("df") <= 5).count() == 0
+    # and every posting's term survives in the pruned terms table
+    orphans = spark_index["postings"].join(
+        spark_index["terms"].select("term"), "term", "left_anti"
+    ).count()
+    assert orphans == 0
 
 
 def test_block_max_consistency(spark_index):

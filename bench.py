@@ -163,6 +163,69 @@ def time_index_build(cores: int, corpus_path: str, out_dir: str) -> dict:
     }
 
 
+def measure_strategy_bytes(spark, index_dir: str) -> dict:
+    """Storage-fetch bytes per retrieval strategy, from parquet footers.
+
+    For each strategy this sums the COMPRESSED column-chunk sizes (pyarrow
+    footer metadata) of exactly the columns its scan touches, over the
+    term_bucket partitions the literal bucket filter keeps — i.e. the bytes
+    a cold object-store reader must GET under partition + column pruning.
+    Footer accounting is used instead of Spark's stage inputBytes because
+    the local vectorized reader under-reports file bytes (measured: 0.4 MB
+    reported for a full 300+ MB blob scan), while footer sizes are exact
+    and deterministic.
+
+    Evidences the bm25_topk_auto cost model: the pruned path's phase-A
+    upper-bound pass (term, doc_id, block_id) is a small fraction of the
+    payload scan (term, doc_id, bm25, positions_vb) because the position
+    blobs dominate on-disk bytes.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from modernsearchengines_spark.operators.expansion import compile_query
+    from modernsearchengines_spark.operators.query import query_terms_df
+    from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
+
+    compiled = [compile_query(q, t) for q, t in REFERENCE_QUERIES]
+    terms = query_terms_df(spark, compiled)
+    buckets = {r.term_bucket for r in terms.select("term_bucket").distinct().collect()}
+
+    col_bytes: dict[str, int] = {}
+    n_files = 0
+    for b in sorted(buckets):
+        for path in _glob.glob(f"{index_dir}/postings/term_bucket={b}/*.parquet"):
+            n_files += 1
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    col_bytes[col.path_in_schema] = (
+                        col_bytes.get(col.path_in_schema, 0)
+                        + col.total_compressed_size
+                    )
+    if not col_bytes:
+        return {"available": False}
+
+    def mb(cols):
+        return round(sum(col_bytes.get(c, 0) for c in cols) / 1e6, 1)
+
+    blocks_mb = 0.0
+    for path in _glob.glob(f"{index_dir}/blocks/*.parquet"):
+        blocks_mb += os.path.getsize(path) / 1e6
+    return {
+        "available": True,
+        "n_pruned_bucket_files": n_files,
+        "ub_pass_mb": round(
+            mb(["term", "doc_id", "block_id"]) + blocks_mb, 1
+        ),
+        "light_exhaustive_mb": mb(["term", "doc_id", "bm25"]),
+        "payload_exhaustive_mb": mb(["term", "doc_id", "bm25", "positions_vb"]),
+        "bucket_total_mb": mb(col_bytes.keys()),
+    }
+
+
 def time_queries(spark, index, sf_dir: str) -> dict:
     """Top-k latency: parity mode (reference semantics) + WAND mode."""
     from modernsearchengines_spark.operators import query, wand
@@ -199,6 +262,27 @@ def time_queries(spark, index, sf_dir: str) -> dict:
         wand.bm25_topk_exhaustive(index["postings"], terms, 100).collect()
         runs.append(time.time() - t0)
     out["exhaustive_topk_warm_sec"] = round(min(runs), 3)
+
+    # payload-refined scoring (bm25 + α·min-span over decoded blobs) —
+    # the expensive-per-doc regime the pruned path targets
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        wand.bm25_prox_topk_exhaustive(index["postings"], terms, 100).collect()
+        runs.append(time.time() - t0)
+    out["payload_exhaustive_warm_sec"] = round(min(runs), 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        wand.bm25_prox_topk_wand(
+            index["postings"], index["blocks"], terms, 100
+        ).collect()
+        runs.append(time.time() - t0)
+    out["payload_wand_warm_sec"] = round(min(runs), 3)
+
+    out["pruning"] = wand.pruning_stats(
+        index["postings"], index["blocks"], terms, 100
+    )
     return out
 
 
@@ -253,8 +337,14 @@ def main() -> None:
     from modernsearchengines_spark.operators import indexer
     from modernsearchengines_spark.session import get_spark
 
-    spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
+    spark = get_spark(
+        "bench-queries", cores=cpus, shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},  # bytes-read metrics
+    )
+    strategy_bytes = {"available": False}
     if do_scaling:
+        # bytes first: needs cold (uncached) frames for honest input metrics
+        strategy_bytes = measure_strategy_bytes(spark, f"{CORPUS_CACHE}/idx_high")
         index = indexer.read_index(spark, f"{CORPUS_CACHE}/idx_high")
     else:
         docs = spark.read.parquet(corpus_path)
@@ -338,21 +428,41 @@ def main() -> None:
     lines += [
         "## Top-k query latency (fixture index, reference query set)",
         "",
-        "| metric | seconds |",
+        "| metric | value |",
         "|---|---|",
     ]
     for k, v in latency.items():
         lines.append(f"| {k} | {v} |")
+    if strategy_bytes.get("available"):
+        lines += [
+            "",
+            "### Storage-fetch bytes per retrieval pass (parquet footer accounting,",
+            "### compressed column chunks over the term_bucket partitions the literal",
+            "### bucket filter keeps)",
+            "",
+            "| pass | MB fetched |",
+            "|---|---|",
+            f"| pruned path phase A (term/doc_id/block_id + blocks table) | {strategy_bytes['ub_pass_mb']} |",
+            f"| light exhaustive (term/doc_id + 8-byte bm25, NO blobs) | {strategy_bytes['light_exhaustive_mb']} |",
+            f"| payload exhaustive (adds position blobs) | {strategy_bytes['payload_exhaustive_mb']} |",
+            f"| pruned buckets, all columns ({strategy_bytes['n_pruned_bucket_files']} of 64 bucket dirs) | {strategy_bytes['bucket_total_mb']} |",
+        ]
     lines += [
         "",
         "Notes: the fixture corpus is adversarially tuebingen-heavy (every "
         "query expands to 16 boost terms matching ~all docs, Q14), so parity "
         "mode scores the whole corpus per query — reference semantics, not "
-        "an engine limit. Block-max pruning (wand_topk) trades extra narrow "
-        "passes for NOT reading heavy posting payloads of non-candidates; "
-        "on a hot in-memory index with 8-byte scores the exhaustive single "
-        "pass wins, on cold 100 TB columnar storage the pruned read wins — "
-        "both paths are measured and rank-identical (tests/test_wand.py).",
+        "an engine limit. Strategy selection (wand.bm25_topk_auto) follows "
+        "the measured cost model: the pruned path's win is PROCESSING — it "
+        "payload-scores ~3x fewer docs (pruning row above) — not storage "
+        "bytes (its ub pass is an additional read; the bytes table shows "
+        "partition pruning cutting 64→N bucket dirs and column pruning "
+        "keeping light scoring off the blobs, both of which benefit ALL "
+        "strategies equally). On this index the built-in min-span payload "
+        "costs P≈2.0·S (payload vs light exhaustive rows above) — under "
+        "the P>2.5·S crossover at pruning ratio ~3 — so auto dispatches "
+        "exhaustive; heavier per-doc scoring (model reranking) crosses it. "
+        "All strategy pairs are rank-identical (tests/test_wand.py).",
     ]
     lines += ["", f"## Relational suite at sf={sf}", "", "| query | seconds |", "|---|---|"]
     for k, v in qtimes.items():
@@ -371,6 +481,7 @@ def main() -> None:
         "reference_singlenode": ref_baseline,
         "index_scaling": scaling,
         "query_latency": latency,
+        "strategy_bytes": strategy_bytes,
     }
     print(json.dumps(result))
 

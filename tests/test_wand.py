@@ -45,6 +45,42 @@ def test_wand_equals_exhaustive(spark_index, terms, k):
         assert math.isclose(p_score, score, rel_tol=0, abs_tol=1e-12), key
 
 
+@pytest.mark.parametrize("k", [10, 100])
+def test_payload_wand_equals_exhaustive(spark_index, terms, k):
+    """Payload-refined (bm25 + α·min-span) pruned top-k ≡ exhaustive."""
+    base = wand.bm25_prox_topk_exhaustive(
+        spark_index["postings"], terms, k
+    ).collect()
+    pruned = wand.bm25_prox_topk_wand(
+        spark_index["postings"], spark_index["blocks"], terms, k
+    ).collect()
+    base_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in base}
+    pruned_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in pruned}
+    assert set(base_m) == set(pruned_m)
+    for key, (doc_id, score) in base_m.items():
+        p_doc, p_score = pruned_m[key]
+        assert p_doc == doc_id, key
+        assert math.isclose(p_score, score, rel_tol=0, abs_tol=1e-12), key
+
+
+def test_auto_dispatch(spark_index, terms):
+    """bm25_topk_auto: light → exhaustive plan (single pass), payload →
+    pruned payload plan; both return well-formed dense-rank results."""
+    light = wand.bm25_topk_auto(
+        spark_index["postings"], spark_index["blocks"], terms, k=10
+    ).collect()
+    heavy = wand.bm25_topk_auto(
+        spark_index["postings"], spark_index["blocks"], terms, k=10,
+        payload=True, payload_cost_ratio=5.0,  # past the 2.5 crossover
+    ).collect()
+    for rows in (light, heavy):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qnum, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
 def test_wand_actually_prunes(spark_index, terms):
     stats = wand.pruning_stats(
         spark_index["postings"], spark_index["blocks"], terms, k=10

@@ -215,13 +215,13 @@ def clean_docs(docs: DataFrame, derive_text_from_html: bool = False) -> DataFram
     docs = media_url_filter(docs)
     if derive_text_from_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
-    # Spread rows before the first Arrow UDF: a 100 TB scan has thousands of
-    # splits, but a small local file may have 1-3 — the repartition makes the
-    # UDF stages use the full executor pool either way.  Explicit partition
-    # count: AQE would coalesce a bare repartition() by byte size, which is
-    # the wrong cost model for Python-heavy stages (bytes ≪ CPU).
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism * 2
-    docs = docs.repartition(n_parts, "url")
+    # No pre-UDF repartition: Spark sizes file splits as
+    # max(openCost, bytes/defaultParallelism) capped at maxPartitionBytes,
+    # so the scan stage that runs the simhash UDF already gets ≈ one split
+    # per core on compact inputs and thousands of splits at 100 TB.  An
+    # explicit repartition here re-shuffled the full corpus (text + html)
+    # purely for parallelism the scan already had — measured 3.4s of the
+    # 32-core 400k-doc build, and its cost grows linearly with corpus size.
     english = docs.filter(F.col("lang").startswith("en"))
     hashed = english.withColumn("simhash", simhash_udf("text"))
     w = Window.partitionBy("simhash").orderBy("warc_ts", "url")

@@ -194,7 +194,13 @@ def write_docs_parquet(rows: list[dict], path: str) -> None:
             "lang": [r["lang"] for r in rows],
         }
     )
-    pq.write_table(table, path)
+    # Bounded row groups (~8k docs ≈ 8 MB): pyarrow's default writes ONE
+    # row group for the whole table, and a parquet row group is the unit of
+    # parallel reading — a single-row-group 435 MB fixture serialized the
+    # entire scan+UDF stage onto one core regardless of split planning.
+    # Real warehouse tables (Iceberg write targets) always have bounded row
+    # groups; the fixture must look like them.
+    pq.write_table(table, path, row_group_size=8192)
 
 
 def read_queries_tsv(path: str) -> list[tuple[int, str]]:

@@ -541,6 +541,95 @@ def q_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: segment-filtered customer ⨝ orders
+    ⨝ lineitem, unshipped-revenue per order, top-10.  Broadcast the
+    segment-filtered customer keys (selective dim); orders⨝lineitem stays a
+    shuffle join on the order key (fact-fact); top-k via orderBy+limit."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    top = rev.orderBy(
+        F.desc("_rev"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    ).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("_rev"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "o_orderkey",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: revenue lost to returns
+    ('R' lineitems) per customer over one quarter, top-20 with nation."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).alias("_rev")
+        )
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_name", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    top = rev.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(20)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch twin of the Structured
     Streaming ingest in streaming/ingest.py)."""
@@ -680,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "supplier_balance_by_region": q_supplier_balance_by_region,
+        "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "orders_rollup": q_orders_rollup,
@@ -1009,6 +1100,39 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
+""",
+        "shipping_priority": """
+SELECT CAST(rank AS INT) AS rank, o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                        o.o_orderdate ASC, o.o_orderkey ASC) AS rank
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+) WHERE rank <= 10
+""",
+        "returned_items": """
+SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, n_name, revenue FROM (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                        c.c_custkey ASC) AS rank
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+) WHERE rank <= 20
 """,
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS ts_hour, event_type,

@@ -1,0 +1,96 @@
+"""Stateful streaming sessionization ≡ batch lag+cumsum twin (closed
+sessions), including state carry-over across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from modernsearchengines_spark.streaming.sessions import sessionize_stream
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+
+
+def batch_sessions(events):
+    """The batch formulation (mirror of __spark_entry__.q_events_sessions,
+    0-based ids)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        > 1800 * 1_000_000,
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("_new", gap)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+@pytest.mark.parametrize("n_files", [1, 3])
+def test_stream_equals_batch_closed_sessions(spark, tmp_path, n_files):
+    events_pd = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values("ts")
+    in_dir = tmp_path / f"stream_in_{n_files}"
+    in_dir.mkdir()
+    # time-ordered file splits: with maxFilesPerTrigger=1 each file is one
+    # micro-batch, so sessions spanning splits exercise state carry-over
+    chunks = [
+        events_pd.iloc[i * len(events_pd) // n_files:
+                       (i + 1) * len(events_pd) // n_files]
+        for i in range(n_files)
+    ]
+    for i, chunk in enumerate(chunks):
+        p = in_dir / f"part-{i:02d}.parquet"
+        chunk.to_parquet(p)
+        t = time.time() - (n_files - i) * 10  # strictly increasing mtimes
+        os.utime(p, (t, t))
+
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out_dir = tmp_path / f"out_{n_files}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{n_files}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+
+    batch = batch_sessions(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    w_last = Window.partitionBy("user_id")
+    expected_df = (
+        batch.withColumn("_max", F.max("session_id").over(w_last))
+        .filter(F.col("session_id") < F.col("_max"))  # drop open tails
+    )
+    expected = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # the fixture must actually close sessions

@@ -565,11 +565,38 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
     first so each bucket gets one coherent file instead of
     (#tasks × #buckets) shards.
     """
-    index["postings"].repartition("term_bucket").write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{out_dir}/postings")
-    # blocks derive from the WRITTEN postings (narrow columnar read) instead
-    # of re-evaluating the scoring subtree a second time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The side tables are independent of the big postings job — submit them
+    # from worker threads so the Spark scheduler interleaves their (small)
+    # stages into slots the memory-bound postings exchange leaves idle,
+    # instead of paying their job latencies serially afterwards.  Only the
+    # blocks derivation orders after postings (it reads the written files —
+    # a narrow columnar re-read beats re-evaluating the scoring subtree).
+    def _write_postings() -> None:
+        index["postings"].repartition("term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(f"{out_dir}/postings")
+
+    def _write_side_tables() -> None:
+        if "terms" in index:
+            # Same bucket layout as postings (a global single-file write
+            # would bottleneck at billion-term vocabularies).
+            index["terms"].repartition("term_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("term_bucket").parquet(f"{out_dir}/terms")
+        index["doc_stats"].write.mode("overwrite").parquet(
+            f"{out_dir}/doc_stats"
+        )
+        index["corpus_stats"].write.mode("overwrite").parquet(
+            f"{out_dir}/corpus_stats"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_post = pool.submit(_write_postings)
+        f_side = pool.submit(_write_side_tables)
+        f_post.result()
+        f_side.result()
     spark = index["postings"].sparkSession
     (
         spark.read.parquet(f"{out_dir}/postings")
@@ -577,16 +604,6 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
         .agg(F.max("bm25").alias("block_max_bm25"))
         .write.mode("overwrite")
         .parquet(f"{out_dir}/blocks")
-    )
-    if "terms" in index:
-        # Same bucket layout as postings (a global single-file write would
-        # bottleneck at billion-term vocabularies).
-        index["terms"].repartition("term_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("term_bucket").parquet(f"{out_dir}/terms")
-    index["doc_stats"].write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-    index["corpus_stats"].write.mode("overwrite").parquet(
-        f"{out_dir}/corpus_stats"
     )
 
 

@@ -41,6 +41,33 @@ def raw_postings_for_batch(batch_df: DataFrame, epoch_id: int) -> DataFrame:
     )
 
 
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 second"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming twin of the
+    batch ``events_hourly`` contract entry).
+
+    Append-mode semantics: a window row is emitted exactly once, when the
+    event-time watermark (max observed ts − ``watermark``) passes the
+    window end; later-than-watermark stragglers are dropped.  State is
+    O(open windows × groups) and ages out with the watermark — the
+    standard unbounded-stream formulation (no growing state, unlike a
+    naive groupBy on event time).  tests/test_streaming_sessions.py
+    replays a time-split file sequence and asserts the emitted rows equal
+    the batch aggregation restricted to closed windows.
+    """
+    # watermarks require TIMESTAMP (with zone); fixture tables carry NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("ts_hour"), "event_type", "n_events"
+        )
+    )
+
+
 def start_ingest(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """writeStream.foreachBatch appending one raw segment per micro-batch."""
 

@@ -83,6 +83,33 @@ def test_bm25_topk_uses_partial_topk_not_global_window(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_light_topk_scan_prunes_blob_column(spark, docs_df, tmp_path):
+    """Light BM25 top-k must never read positions_vb from the postings
+    parquet — column pruning is the whole point of keeping the blobs out of
+    the scoring columns."""
+    from modernsearchengines_spark.operators import indexer, query, wand
+    from modernsearchengines_spark.operators.expansion import compile_query
+
+    idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
+    indexer.write_index(idx, str(tmp_path / "idx"))
+    disk = indexer.read_index(spark, str(tmp_path / "idx"))
+    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")])
+    light = wand.bm25_topk_exhaustive(disk["postings"], terms, 10)
+    assert "positions_vb" not in read_schema_columns(light)
+    # the payload mode DOES read it
+    heavy = wand.bm25_prox_topk_exhaustive(disk["postings"], terms, 10)
+    assert "positions_vb" in read_schema_columns(heavy)
+    indexer.unpersist_index(idx)
+
+
+def test_new_tpch_entries_broadcast_dims_and_partial_topk(spark):
+    for fn in (entrymod.q_shipping_priority, entrymod.q_returned_items):
+        df = fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert uses_broadcast_join(df), fn.__name__
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
 def test_minhash_default_token_ids_have_no_global_window(spark, docs_df):
     from modernsearchengines_spark.operators import dedup
 

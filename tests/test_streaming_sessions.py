@@ -42,6 +42,77 @@ def batch_sessions(events):
     )
 
 
+def _time_split_stream_dir(tmp_path, name, n_files):
+    events_pd = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values("ts")
+    in_dir = tmp_path / name
+    in_dir.mkdir()
+    chunks = [
+        events_pd.iloc[i * len(events_pd) // n_files:
+                       (i + 1) * len(events_pd) // n_files]
+        for i in range(n_files)
+    ]
+    for i, chunk in enumerate(chunks):
+        p = in_dir / f"part-{i:02d}.parquet"
+        chunk.to_parquet(p)
+        t = time.time() - (n_files - i) * 10
+        os.utime(p, (t, t))
+    return in_dir, chunks
+
+
+def test_watermarked_window_agg_equals_batch_closed_windows(spark, tmp_path):
+    from modernsearchengines_spark.streaming.ingest import windowed_counts_stream
+
+    n_files = 3
+    in_dir, chunks = _time_split_stream_dir(tmp_path, "win_in", n_files)
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out_dir = tmp_path / "win_out"
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.ts_hour, r.event_type): r.n_events
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # Append mode emits a window when the watermark (max seen ts − delay)
+    # passes its end; availableNow runs a final no-data batch after the
+    # last file, so the terminal watermark reflects ALL input and the
+    # closed set is every window ending at or before max(ts) − 1s.
+    import datetime as _dt
+
+    import pandas as _pd
+
+    wm = max(_pd.Timestamp(c["ts"].max()) for c in chunks) - _dt.timedelta(
+        seconds=1
+    )
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ts_hour"), F.col("w.end").alias("_end"),
+                "event_type", "n_events")
+        .collect()
+    )
+    expected = {
+        (r.ts_hour, r.event_type): r.n_events
+        for r in batch
+        if r._end <= wm.to_pydatetime().replace(tzinfo=None)
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
 @pytest.mark.parametrize("n_files", [1, 3])
 def test_stream_equals_batch_closed_sessions(spark, tmp_path, n_files):
     events_pd = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values("ts")

@@ -107,6 +107,69 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-refined pruned top-k (wand.bm25_prox_topk_wand) driven over
+    a postings+blocks layout derived from `documents`: score = Σ bm25 +
+    α·min-span over varbyte-decoded positions, block-max candidate
+    pruning, rank-identical to the exhaustive twin (tests/test_wand.py).
+    Rows-only in the gate: the min-span heap scan is UDF-bound (same
+    status as minspan_proximity_udf)."""
+    from modernsearchengines_spark.operators import wand
+    from modernsearchengines_spark.operators.codec import varbyte_encode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = _doc_tokens(docs)
+    n_docs = docs.count()
+    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = doc_len.agg((F.sum("dl") / F.lit(n_docs)).alias("avgdl"))
+    grouped = tokens.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("_positions"),
+    )
+    terms_lit = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "token string"
+    )
+    df = grouped.join(F.broadcast(terms_lit), "token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    postings = (
+        grouped.join(F.broadcast(terms_lit), "token")
+        .join(F.broadcast(df), "token")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "bm25",
+            F.col("idf") * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.col("avgdl")))),
+        )
+        .withColumn("positions_vb", varbyte_encode_udf("_positions"))
+        .withColumn("block_id", F.pmod("doc_id", F.lit(256)).cast("int"))
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("token"), F.lit(64)).cast("int")
+        )
+        .select(
+            "term_bucket", F.col("token").alias("term"), "doc_id", "tf",
+            "bm25", "positions_vb", "block_id",
+        )
+    )
+    blocks = postings.groupBy("term_bucket", "term", "block_id").agg(
+        F.max("bm25").alias("block_max_bm25")
+    )
+    qterms = spark.createDataFrame(
+        [(1, t) for t in BM25_QUERY_TERMS], "qnum int, term string"
+    ).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(64)).cast("int")
+    )
+    out = wand.bm25_prox_topk_wand(postings, blocks, qterms, k=20)
+    return out.select(
+        "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-31: token-count doc lengths."""
     docs = _t(spark, sf_dir, "documents")
@@ -740,6 +803,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "payload_topk": q_payload_topk,
         "doc_lengths": q_doc_lengths,
         "term_df_pruned": q_term_df_pruned,
         "postings_tf": q_postings_tf,

@@ -613,7 +613,27 @@ def main() -> None:
         "query_latency": latency,
         "strategy_bytes": strategy_bytes,
     }
-    print(json.dumps(result))
+    # Machine-readable channel: the FULL result goes to a small file (the
+    # r02 driver tail-capture truncated a ~3.5 kB stdout line and recorded
+    # parsed:null), and the very last stdout line is a COMPACT headline —
+    # required contract fields plus scalar summaries — that fits any tail.
+    with open(os.path.join(BENCH_DIR, "last_run.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {
+        "metric": "bench_suite_wall",
+        "value": suite_wall,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": result["sf"],
+    }
+    if scaling:
+        compact["engine_speedup"] = scaling["engine_speedup"]
+        compact["eff_raw"] = scaling["scaling_efficiency_raw"]
+        compact["eff_composite"] = scaling[
+            "scaling_efficiency_vs_composite_ceiling"
+        ]
+        compact["docs_per_sec"] = scaling["high"]["docs_per_sec"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

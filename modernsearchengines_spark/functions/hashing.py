@@ -6,10 +6,19 @@ Used to assign stable content-derived doc ids (``doc_id = xxhash64(url)``)
 identically in the Spark engine and the pure-Python oracle: a dense
 rank-over-url id needs a global ordering pass (range partition + offsets) —
 three extra jobs and a determinism hazard — while a content hash is a pure
-column expression that scales to 10^12 docs with no coordination.
-Collision odds at 10^12 docs ≈ 2.7% for a single colliding PAIR anywhere in
-the corpus (birthday bound, 64-bit) — acceptable for ranking; dense ids
-remain available via ``indexer.assign_doc_ids(mode="dense")``.
+column expression that scales with no coordination.
+
+Collision budget (birthday bound, 64-bit: E[colliding pairs] ≈ n²/2^65):
+at n = 10^9 docs the expected number of colliding url pairs is ≈ 0.027
+(i.e. ~2.7% odds of even ONE collision anywhere) — negligible.  At
+n = 10^12 the same bound gives ≈ 27,000 expected colliding pairs, each
+silently merging two documents' postings and doc stats — NOT negligible.
+``indexer.build_index`` therefore guards every build with a
+``count(distinct url) == count(distinct doc_id)`` invariant (one agg over
+a frame it already materializes) and fails on collision; the escape
+hatches for the 10^12 regime are ``indexer.assign_doc_ids(mode="dense")``
+(coordinated dense ids, collision-free by construction) or widening the
+key to two independent 64-bit hash columns.
 
 Parity with the JVM implementation is locked by tests/test_determinism.py.
 """

@@ -409,9 +409,24 @@ def build_index(
 
     # ONE stats job over the written parquet: N counts ALL cleaned docs even
     # length-capped ones (Q2/Q3); char sum skips them (NULL aug_len, Q1/Q2).
+    # The same pass checks the doc_id collision invariant: doc_id =
+    # xxhash64(url) merges two documents iff distinct urls exceed distinct
+    # ids (birthday bound ≈ n²/2^65 expected colliding pairs — ~27k at
+    # 10^12 docs; see functions/hashing.py).  Failing here beats silently
+    # merging postings; escape hatches: assign_doc_ids(mode="dense") or a
+    # wider two-column key.
     stats_row = enriched.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("aug_len").alias("chars")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("aug_len").alias("chars"),
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_ids"),
     ).collect()[0]
+    if stats_row.n_ids != stats_row.n_urls:
+        raise ValueError(
+            f"doc_id hash collision: {stats_row.n_urls} distinct urls map to "
+            f"{stats_row.n_ids} distinct xxhash64 ids; rebuild with "
+            "assign_doc_ids(mode='dense') or a wider key"
+        )
     n_total, char_sum = stats_row.n, stats_row.chars or 0
     avg_doc_len = char_sum / n_total if n_total else 0.0
     corpus_stats = spark.createDataFrame(
@@ -617,7 +632,7 @@ def unpersist_index(index: dict[str, DataFrame]) -> None:
 
 
 def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    import os
+    from pyspark.errors import AnalysisException
 
     index = {
         "postings": spark.read.parquet(f"{out_dir}/postings"),
@@ -625,6 +640,11 @@ def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         "doc_stats": spark.read.parquet(f"{out_dir}/doc_stats"),
         "corpus_stats": spark.read.parquet(f"{out_dir}/corpus_stats"),
     }
-    if os.path.isdir(f"{out_dir}/terms"):  # absent in pre-terms-table layouts
+    # Probe via the reader, not os.path: out_dir may be any Hadoop
+    # filesystem scheme (hdfs://, s3a://) where a local isdir check would
+    # silently drop the terms table for df/idf consumers.
+    try:  # absent in pre-terms-table layouts
         index["terms"] = spark.read.parquet(f"{out_dir}/terms")
+    except AnalysisException:
+        pass
     return index

@@ -42,14 +42,17 @@ def raw_postings_for_batch(batch_df: DataFrame, epoch_id: int) -> DataFrame:
 
 
 def windowed_counts_stream(
-    events: DataFrame, window: str = "1 hour", watermark: str = "1 second"
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (the streaming twin of the
     batch ``events_hourly`` contract entry).
 
     Append-mode semantics: a window row is emitted exactly once, when the
     event-time watermark (max observed ts − ``watermark``) passes the
-    window end; later-than-watermark stragglers are dropped.  State is
+    window end; later-than-watermark stragglers are dropped — hence the
+    10-minute default late tolerance (a 1-second watermark would silently
+    drop any mildly out-of-order event; the deterministic-replay test
+    passes ``watermark="1 second"`` explicitly).  State is
     O(open windows × groups) and ages out with the watermark — the
     standard unbounded-stream formulation (no growing state, unlike a
     naive groupBy on event time).  tests/test_streaming_sessions.py

@@ -149,3 +149,17 @@ def test_block_max_consistency(spark_index):
         != F.pmod(F.col("doc_id"), F.lit(indexer.DEFAULT_N_BLOCKS)).cast("int")
     ).count()
     assert mis == 0
+
+
+def test_collision_guard_detects_forced_collision(spark, docs_df, monkeypatch):
+    """build_index fails loudly when two distinct urls map to one doc_id
+    (the 10^12-scale birthday-collision regime, functions/hashing.py):
+    monkeypatch the id assignment to a constant hash and expect the
+    countDistinct(url) == countDistinct(doc_id) invariant to raise."""
+
+    def colliding_ids(docs, mode="hash", n_ranges=32):
+        return docs.withColumn("doc_id", F.lit(12345).cast("long"))
+
+    monkeypatch.setattr(indexer, "assign_doc_ids", colliding_ids)
+    with pytest.raises(ValueError, match="collision"):
+        indexer.build_index(spark, indexer.clean_docs(docs_df))

@@ -72,7 +72,7 @@ def test_watermarked_window_agg_equals_batch_closed_windows(spark, tmp_path):
     )
     out_dir = tmp_path / "win_out"
     q = (
-        windowed_counts_stream(stream)
+        windowed_counts_stream(stream, watermark="1 second")
         .writeStream.format("parquet")
         .option("path", str(out_dir))
         .option("checkpointLocation", str(tmp_path / "win_ckpt"))
@@ -165,3 +165,58 @@ def test_stream_equals_batch_closed_sessions(spark, tmp_path, n_files):
     }
     assert got == expected
     assert len(got) > 0  # the fixture must actually close sessions
+
+
+def test_idle_close_expires_tail_sessions(spark, tmp_path):
+    """EventTimeTimeout mode: once the terminal watermark passes last_ts +
+    gap, every idle session — including each user's final one — is
+    force-closed and emitted, so the stream output equals the FULL batch
+    sessionization (not batch minus open tails as in NoTimeout mode).
+
+    A far-future sentinel event (synthetic user) is appended as the last
+    micro-batch to advance the event-time watermark past every real
+    session's expiry; the availableNow final no-data batch then fires the
+    timeouts."""
+    in_dir, chunks = _time_split_stream_dir(tmp_path, "idle_in", 3)
+    sentinel_user = -999
+    last = chunks[-1].iloc[[-1]].copy()
+    last["user_id"] = sentinel_user
+    last["ts"] = (last["ts"] + pd.Timedelta(days=30)).astype("datetime64[us]")
+    p = in_dir / "part-99.parquet"
+    last.to_parquet(p, index=False)
+    t = time.time()
+    os.utime(p, (t, t))
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out_dir = tmp_path / "idle_out"
+    q = (
+        sessionize_stream(stream, idle_close=True, watermark="1 second")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "idle_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in spark.read.parquet(str(out_dir)).collect()
+        if r.user_id != sentinel_user
+    }
+    batch = batch_sessions(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    expected = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in batch.collect()
+    }
+    # The sentinel pushed the watermark ~30 days past the real data, so
+    # every real session's expiry (last_ts + gap) has passed: ALL sessions
+    # emit, including each user's final one.
+    assert got == expected
+    # and strictly more than the NoTimeout mode would emit (open tails).
+    n_users = len({u for (u, _) in expected})
+    assert len(got) > len(expected) - n_users

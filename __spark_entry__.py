@@ -110,8 +110,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload-refined pruned top-k (wand.bm25_prox_topk_wand) driven over
     a postings+blocks layout derived from `documents`: score = Σ bm25 +
-    α·min-span over varbyte-decoded positions, block-max candidate
-    pruning, rank-identical to the exhaustive twin (tests/test_wand.py).
+    α·min-span over varbyte-decoded positions, rank-safe cascade-bound
+    candidate pruning (exact light score + payload cap as the upper
+    bound), rank-identical to the exhaustive twin (tests/test_wand.py).
     Rows-only in the gate: the min-span heap scan is UDF-bound (same
     status as minspan_proximity_udf)."""
     from modernsearchengines_spark.operators import wand

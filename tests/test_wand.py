@@ -106,3 +106,64 @@ def test_wand_candidates_feed_parity_prefilter(spark, spark_index, terms):
     rows = res.collect()
     assert len(rows) > 0
     assert all(r.rank <= 10 for r in rows)
+
+
+@pytest.mark.parametrize("exact_theta", [True, False])
+def test_payload_wand_lb_theta_equals_exhaustive(spark_index, terms, exact_theta):
+    """Both θ modes (exact seed payload score / Σbm25 lower bound) are
+    sound: pruned output ≡ exhaustive bit-for-bit either way."""
+    base = wand.bm25_prox_topk_exhaustive(
+        spark_index["postings"], terms, 25
+    ).collect()
+    pruned = wand.bm25_prox_topk_wand(
+        spark_index["postings"], spark_index["blocks"], terms, 25,
+        exact_theta=exact_theta,
+    ).collect()
+    base_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in base}
+    pruned_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in pruned}
+    assert base_m.keys() == pruned_m.keys()
+    for key, (doc_id, score) in base_m.items():
+        p_doc, p_score = pruned_m[key]
+        assert p_doc == doc_id, key
+        assert math.isclose(p_score, score, rel_tol=0, abs_tol=1e-12), key
+
+
+def test_plm_payload_wand_equals_exhaustive(spark_index, terms):
+    """The heavy PLM reranking scorer: pruned ≡ exhaustive (the measured-
+    crossover bench config, VERDICT r02 item 1)."""
+    from modernsearchengines_spark.operators.proximity import plm_score_vb_udf
+
+    base = wand.bm25_prox_topk_exhaustive(
+        spark_index["postings"], terms, 25, scorer=plm_score_vb_udf
+    ).collect()
+    pruned = wand.bm25_prox_topk_wand(
+        spark_index["postings"], spark_index["blocks"], terms, 25,
+        scorer=plm_score_vb_udf,
+    ).collect()
+    base_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in base}
+    pruned_m = {(r.qnum, r.rank): (r.doc_id, r.score) for r in pruned}
+    assert base_m.keys() == pruned_m.keys()
+    for key, (doc_id, score) in base_m.items():
+        p_doc, p_score = pruned_m[key]
+        assert p_doc == doc_id, key
+        assert math.isclose(p_score, score, rel_tol=0, abs_tol=1e-12), key
+
+
+def test_plm_score_properties():
+    """PLM scorer: bounded (0, 1], 0 for <2 lists, higher when terms
+    co-occur densely than when they are far apart."""
+    from modernsearchengines_spark.operators.proximity import plm_score
+
+    assert plm_score([]) == 0.0
+    assert plm_score([[1, 2, 3]]) == 0.0
+    dense = plm_score([[100, 101], [102], [103, 104]])
+    sparse = plm_score([[100], [5000], [90000]])
+    assert 0.0 < sparse < dense <= 1.0
+
+
+def test_payload_pruning_stats(spark_index, terms):
+    stats = wand.pruning_stats(
+        spark_index["postings"], spark_index["blocks"], terms, k=10,
+        alpha=wand.PROX_ALPHA,
+    )
+    assert 0 < stats["scored_docs"] <= stats["matched_docs"]

@@ -107,15 +107,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Payload-refined pruned top-k (wand.bm25_prox_topk_wand) driven over
-    a postings+blocks layout derived from `documents`: score = Σ bm25 +
-    α·min-span over varbyte-decoded positions, rank-safe cascade-bound
-    candidate pruning (exact light score + payload cap as the upper
-    bound), rank-identical to the exhaustive twin (tests/test_wand.py).
-    Rows-only in the gate: the min-span heap scan is UDF-bound (same
-    status as minspan_proximity_udf)."""
-    from modernsearchengines_spark.operators import wand
+def _payload_index(spark: SparkSession, sf_dir: str):
+    """postings/blocks/query-terms layout over `documents` shared by the
+    payload-retrieval contract entries (q_payload_topk, q_plm_topk)."""
     from modernsearchengines_spark.operators.codec import varbyte_encode_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -165,7 +159,42 @@ def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(64)).cast("int")
     )
+    return postings, blocks, qterms
+
+
+def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-refined pruned top-k (wand.bm25_prox_topk_wand) driven over
+    a postings+blocks layout derived from `documents`: score = Σ bm25 +
+    α·min-span over varbyte-decoded positions, rank-safe cascade-bound
+    candidate pruning (exact light score + payload cap as the upper
+    bound), rank-identical to the exhaustive twin (tests/test_wand.py).
+    Rows-only in the gate: the min-span heap scan is UDF-bound (same
+    status as minspan_proximity_udf)."""
+    from modernsearchengines_spark.operators import wand
+
+    postings, blocks, qterms = _payload_index(spark, sf_dir)
     out = wand.bm25_prox_topk_wand(postings, blocks, qterms, k=20)
+    return out.select(
+        "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_plm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-reranking pruned top-k: score = Σ bm25 + α·PLM, where PLM is
+    the multi-scale positional-language-model proximity of Lv & Zhai
+    (SIGIR 2009) over varbyte-decoded positions
+    (proximity.plm_score_vb_udf) — the measured P/S ≫ crossover regime
+    where cascade pruning beats exhaustive scoring 7× on the 400k bench
+    index (tools/measure_wand.py; rank-identical twin pair in
+    tests/test_wand.py).  Rows-only in the gate: the Gaussian-kernel
+    scorer is UDF-bound."""
+    from modernsearchengines_spark.operators import wand
+    from modernsearchengines_spark.operators.proximity import plm_score_vb_udf
+
+    postings, blocks, qterms = _payload_index(spark, sf_dir)
+    out = wand.bm25_prox_topk_wand(
+        postings, blocks, qterms, k=20, scorer=plm_score_vb_udf
+    )
     return out.select(
         "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -805,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "payload_topk": q_payload_topk,
+        "plm_topk": q_plm_topk,
         "doc_lengths": q_doc_lengths,
         "term_df_pruned": q_term_df_pruned,
         "postings_tf": q_postings_tf,

@@ -162,8 +162,16 @@ def test_plm_score_properties():
 
 
 def test_payload_pruning_stats(spark_index, terms):
-    stats = wand.pruning_stats(
+    casc = wand.pruning_stats(
         spark_index["postings"], spark_index["blocks"], terms, k=10,
         alpha=wand.PROX_ALPHA,
     )
-    assert 0 < stats["scored_docs"] <= stats["matched_docs"]
+    assert 0 < casc["scored_docs"] <= casc["matched_docs"]
+    bmax = wand.pruning_stats(
+        spark_index["postings"], spark_index["blocks"], terms, k=10,
+        alpha=wand.PROX_ALPHA, bound="blockmax",
+    )
+    # Σbm25 ≤ Σ block_max pointwise, so with the same +α·PROX_MAX cap the
+    # cascade bound admits a subset of the block-max candidates.
+    assert casc["scored_docs"] <= bmax["scored_docs"]
+    assert casc["matched_docs"] == bmax["matched_docs"]

@@ -257,14 +257,17 @@ def measure_strategy_bytes(spark, index_dir: str) -> dict:
     blocks_mb = 0.0
     for path in _glob.glob(f"{index_dir}/blocks/*.parquet"):
         blocks_mb += os.path.getsize(path) / 1e6
+    # Scoring columns: the legacy layout materializes bm25; the
+    # deferred-scoring layout reads (tf, dl) instead (indexer.bm25_expr).
+    score = ["bm25"] if "bm25" in col_bytes else ["tf", "dl"]
     return {
         "available": True,
         "n_pruned_bucket_files": n_files,
         "ub_pass_mb": round(
-            mb(["term", "doc_id", "block_id"]) + blocks_mb, 1
+            mb(["term", "doc_id", "block_id", *score]) + blocks_mb, 1
         ),
-        "light_exhaustive_mb": mb(["term", "doc_id", "bm25"]),
-        "payload_exhaustive_mb": mb(["term", "doc_id", "bm25", "positions_vb"]),
+        "light_exhaustive_mb": mb(["term", "doc_id", *score]),
+        "payload_exhaustive_mb": mb(["term", "doc_id", *score, "positions_vb"]),
         "bucket_total_mb": mb(col_bytes.keys()),
     }
 
@@ -292,7 +295,7 @@ def time_queries(spark, index, sf_dir: str) -> dict:
     out["parity_batch_warm_sec"] = round(min(runs), 3)
 
     compiled = [compile_query(q, t) for q, t in REFERENCE_QUERIES]
-    terms = query.query_terms_df(spark, compiled)
+    terms = query.query_terms_df(spark, compiled, index=index)
     runs = []
     for _ in range(3):
         t0 = time.time()

@@ -51,6 +51,33 @@ from .codec import varbyte_encode_batch
 
 K1 = 1.5
 B = 0.75
+
+
+def bm25_expr(idf, tf, dl, avgdl):
+    """BM25 term-doc score as a pure-JVM column expression:
+
+        idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    DEFERRED SCORING: the persisted postings layout stores the
+    corpus-global-free pair (tf, dl) instead of a baked bm25 — at 100 TB a
+    materialized bm25 freezes idf/avgdl (corpus-global stats) into every
+    posting row, so ANY corpus append would invalidate and rewrite the
+    whole index.  Storing (tf, dl) makes appends touch only the new
+    segment's postings plus the small terms/corpus_stats tables, and lets
+    the bucket-layout shuffle start before the global stats exist (the
+    build pipeline overlap in build_index_pipelined).  Consumers
+    materialize bm25 with this expression right after their (broadcast)
+    query-terms join — per-query cost is a fused multiply over already-
+    matched rows inside whole-stage codegen.
+
+    Operand order matches the former build-time materialization
+    (idf·num/den, left-to-right) so scores are bit-identical to the
+    round-2 layout.
+    """
+    idf, tf, dl, avgdl = (
+        F.col(c) if isinstance(c, str) else c for c in (idf, tf, dl, avgdl)
+    )
+    return idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * (dl / avgdl)))
 MAX_DOC_CHARS = 800_000
 DF_PRUNE = 5
 DEFAULT_TERM_BUCKETS = 64
@@ -472,16 +499,18 @@ def score_and_layout(
     term_df: DataFrame | None = None,
     broadcast_terms: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """df → IDF → BM25 → df>5 prune → block layout (pure JVM — positions
-    arrive already varbyte-encoded from doc_postings_udf).
+    """df → IDF → df>5 prune → deferred-scoring block layout (pure JVM —
+    positions arrive already varbyte-encoded from doc_postings_udf).
 
-    Returns ``(postings, blocks, terms)``.  Per-term attributes (df, idf)
-    are NORMALIZED OUT of the fat postings table into the compact ``terms``
-    table: repeating two 8-byte per-term constants on every posting row
+    Returns ``(postings, blocks, terms)`` where postings carry (tf, dl)
+    and NO bm25 — consumers materialize it via :func:`bm25_expr` after
+    their terms join (idf/avgdl ride the broadcast query-terms frame, see
+    query.attach_scoring_stats).  Per-term attributes (df, idf) are
+    NORMALIZED OUT of the fat postings table into the compact ``terms``
+    table: repeating 8-byte per-term constants on every posting row
     inflated the layout shuffle + parquet by ~30% for values any consumer
     can re-join from a table 100× smaller (measured at 400k docs: 1.26 GB
-    layout exchange with them, and nothing in query.py/wand.py reads them
-    per-posting — bm25 is already materialized).
+    layout exchange with them).
 
     ``postings_raw`` must carry (term, doc_id, tf, positions_vb, doc_len).
     Callers holding the enriched segment table should pass
@@ -531,20 +560,21 @@ def score_and_layout(
             (F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ),
     )
-    join_side = F.broadcast(pruned_terms) if broadcast_terms else pruned_terms
+    prune_side = pruned_terms.select("term")
+    if broadcast_terms:
+        prune_side = F.broadcast(prune_side)
 
-    scored = (
-        postings_raw.join(join_side, "term")
-        .withColumn(
-            "bm25",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1))
-            / (
-                F.col("tf")
-                + K1
-                * (1 - B + B * (F.col("doc_len") / F.lit(float(avg_doc_len))))
-            ),
-        )
+    # DEFERRED SCORING (see bm25_expr): the layout stores (tf, dl) and NO
+    # bm25 column — the df>5 prune is a LEFT SEMI join (no term attributes
+    # ride on the fat posting rows at all), so the bucket exchange carries
+    # 4 fewer bytes/row than the round-2 bm25 layout and, crucially, the
+    # whole layout branch has NO dependence on corpus-global stats
+    # (n_total/avgdl feed only the small terms/blocks tables).  That
+    # independence is what lets build_index_pipelined overlap segment
+    # tokenize (Python-CPU) with segment layout (shuffle/parquet,
+    # DRAM-bound).
+    layout = (
+        postings_raw.join(prune_side, "term", "left_semi")
         .withColumn(
             "block_id",
             F.pmod(F.col("doc_id"), F.lit(n_blocks)).cast("int"),
@@ -554,15 +584,41 @@ def score_and_layout(
             F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
         )
     )
-
     # Persisted layout stores ONLY the compressed blob (SURVEY schema),
     # already encoded upstream in doc_postings_udf.  Consumers decode via
     # proximity.min_span_score_vb_udf / codec.varbyte_decode_udf.  df/idf
     # live in the terms table, not on every posting row.
-    postings = scored.drop("doc_len", "df", "idf")
+    postings = layout.select(
+        "term_bucket",
+        "term",
+        "doc_id",
+        "tf",
+        F.col("doc_len").cast("int").alias("dl"),
+        "positions_vb",
+        "block_id",
+    )
 
-    blocks = scored.groupBy("term_bucket", "term", "block_id").agg(
-        F.max("bm25").alias("block_max_bm25")
+    # Block maxima: max over the idf-free length-normalized part g(tf, dl),
+    # scaled by idf afterwards on the ALREADY-AGGREGATED (small) frame —
+    # idf > 0 so max(idf·g) = idf·max(g).  The 1-ulp reassociation risk vs
+    # the query-time idf·num/den order is absorbed by wand.py's relative
+    # guard on every ub ≥ θ comparison.
+    g = bm25_expr(
+        F.lit(1.0), F.col("tf"), F.col("dl"), F.lit(float(avg_doc_len))
+    )
+    idf_side = pruned_terms.select("term", "idf")
+    if broadcast_terms:
+        idf_side = F.broadcast(idf_side)
+    blocks = (
+        postings.groupBy("term_bucket", "term", "block_id")
+        .agg(F.max(g).alias("_max_g"))
+        .join(idf_side, "term")
+        .select(
+            "term_bucket",
+            "term",
+            "block_id",
+            (F.col("idf") * F.col("_max_g")).alias("block_max_bm25"),
+        )
     )
     terms = pruned_terms.withColumn(
         "term_bucket",
@@ -571,7 +627,9 @@ def score_and_layout(
     return postings, blocks, terms
 
 
-def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
+def write_index(
+    index: dict[str, DataFrame], out_dir: str, cluster_terms: bool = False
+) -> None:
     """Persist the index tables (Iceberg-equivalent Parquet layout).
 
     postings are partitioned by ``term_bucket`` = bucket(K, term) so the
@@ -579,6 +637,10 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
     terms (SURVEY O-24 partition pruning).  Repartition on the bucket column
     first so each bucket gets one coherent file instead of
     (#tasks × #buckets) shards.
+
+    ``cluster_terms``: additionally sortWithinPartitions(term) so each
+    term's postings are contiguous in the bucket file — dictionary indices
+    RLE away and term-equality scans skip pages via column-index stats.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -589,9 +651,12 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
     # blocks derivation orders after postings (it reads the written files —
     # a narrow columnar re-read beats re-evaluating the scoring subtree).
     def _write_postings() -> None:
-        index["postings"].repartition("term_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("term_bucket").parquet(f"{out_dir}/postings")
+        p = index["postings"].repartition("term_bucket")
+        if cluster_terms:
+            p = p.sortWithinPartitions("term")
+        p.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            f"{out_dir}/postings"
+        )
 
     def _write_side_tables() -> None:
         if "terms" in index:
@@ -612,14 +677,39 @@ def write_index(index: dict[str, DataFrame], out_dir: str) -> None:
         f_side = pool.submit(_write_side_tables)
         f_post.result()
         f_side.result()
+    write_blocks(index, out_dir)
+
+
+def write_blocks(index: dict[str, DataFrame], out_dir: str) -> None:
+    """(Re)derive the block-max table from the WRITTEN postings files (a
+    narrow columnar re-read beats re-evaluating the scoring subtree) and
+    the current terms/corpus_stats.  Under deferred scoring this is also
+    the append-time refresh: after a corpus append changes idf/avgdl, only
+    this small derived table (≤ |terms|·n_blocks rows) is recomputed — the
+    fat postings stay untouched."""
     spark = index["postings"].sparkSession
-    (
-        spark.read.parquet(f"{out_dir}/postings")
-        .groupBy("term_bucket", "term", "block_id")
-        .agg(F.max("bm25").alias("block_max_bm25"))
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/blocks")
-    )
+    written = spark.read.parquet(f"{out_dir}/postings")
+    if "bm25" in written.columns:  # legacy materialized-score layout
+        blocks = written.groupBy("term_bucket", "term", "block_id").agg(
+            F.max("bm25").alias("block_max_bm25")
+        )
+    else:
+        avgdl = float(
+            index["corpus_stats"].select("avg_doc_len").collect()[0][0]
+        )
+        g = bm25_expr(F.lit(1.0), F.col("tf"), F.col("dl"), F.lit(avgdl))
+        blocks = (
+            written.groupBy("term_bucket", "term", "block_id")
+            .agg(F.max(g).alias("_max_g"))
+            .join(F.broadcast(index["terms"].select("term", "idf")), "term")
+            .select(
+                "term_bucket",
+                "term",
+                "block_id",
+                (F.col("idf") * F.col("_max_g")).alias("block_max_bm25"),
+            )
+        )
+    blocks.write.mode("overwrite").parquet(f"{out_dir}/blocks")
 
 
 def unpersist_index(index: dict[str, DataFrame]) -> None:

@@ -35,9 +35,15 @@ def query_terms_df(
     spark: SparkSession,
     queries: list[CompiledQuery],
     term_buckets: int = DEFAULT_TERM_BUCKETS,
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Flatten compiled queries into (qnum, term, is_original, is_tueb,
-    term_bucket) rows — the broadcast side of the retrieval join."""
+    term_bucket) rows — the broadcast side of the retrieval join.
+
+    Pass ``index`` to also attach (idf, avgdl) via
+    :func:`attach_scoring_stats` when the index uses the deferred-scoring
+    (tf, dl) postings layout; a no-op for legacy bm25-materialized layouts.
+    """
     tueb = set(TUEBINGEN_TERMS)
     rows = []
     for q in queries:
@@ -47,8 +53,36 @@ def query_terms_df(
     df = spark.createDataFrame(
         rows, "qnum int, term string, is_original boolean, is_tueb boolean"
     )
-    return df.withColumn(
+    df = df.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    )
+    if index is not None and "bm25" not in index["postings"].columns:
+        df = attach_scoring_stats(df, index)
+    return df
+
+
+def attach_scoring_stats(
+    terms: DataFrame, index: dict[str, DataFrame]
+) -> DataFrame:
+    """Attach (idf, avgdl) to the broadcast query-terms frame for
+    deferred-scoring (tf, dl) postings layouts (see indexer.bm25_expr).
+
+    The idf lookup is a literal-pruned scan of the bucketed terms table
+    collected driver-side — O(#query terms) rows, the same "small side
+    stays driver-resident" discipline as the query compilation itself.
+    Terms absent from the index (df-pruned) get idf 0; their postings
+    don't exist, so the value is never multiplied against a row.
+    """
+    rows = pruned_postings(index["terms"], terms).select("term", "idf").collect()
+    avgdl = float(index["corpus_stats"].select("avg_doc_len").collect()[0][0])
+    spark = terms.sparkSession
+    lut = spark.createDataFrame(
+        [(r.term, float(r.idf)) for r in rows], "term string, idf double"
+    )
+    return (
+        terms.join(F.broadcast(lut), "term", "left")
+        .withColumn("idf", F.coalesce("idf", F.lit(0.0)))
+        .withColumn("avgdl", F.lit(avgdl))
     )
 
 
@@ -65,6 +99,26 @@ def pruned_postings(postings: DataFrame, terms: DataFrame) -> DataFrame:
     return postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(term_list)
     )
+
+
+def score_cols(postings: DataFrame) -> list[str]:
+    """The columns a scoring scan must read: the materialized bm25 on
+    legacy layouts, the (tf, dl) pair under deferred scoring."""
+    return ["bm25"] if "bm25" in postings.columns else ["tf", "dl"]
+
+
+def ensure_bm25(matched: DataFrame) -> DataFrame:
+    """Materialize bm25 on a postings⨝query-terms frame when the layout
+    defers scoring (indexer.bm25_expr over tf/dl/idf/avgdl, all present
+    post-join via attach_scoring_stats); pass-through when the postings
+    already carry bm25.  Scratch columns are dropped either way."""
+    from .indexer import bm25_expr
+
+    if "bm25" not in matched.columns:
+        matched = matched.withColumn(
+            "bm25", bm25_expr("idf", "tf", "dl", "avgdl")
+        )
+    return matched.drop("tf", "dl", "idf", "avgdl")
 
 
 def _with_minmax(df: DataFrame, col: str, lo: str, hi: str) -> DataFrame:
@@ -100,9 +154,11 @@ def rank(
     # note), so a second narrow join below reads them for that small term
     # subset only (columnar IO win).
     postings = pruned_postings(postings, terms)
-    matched = postings.select(
-        "term_bucket", "term", "doc_id", "bm25"
-    ).join(F.broadcast(terms), ["term_bucket", "term"], "inner")
+    matched = ensure_bm25(
+        postings.select(
+            "term_bucket", "term", "doc_id", *score_cols(postings)
+        ).join(F.broadcast(terms), ["term_bucket", "term"], "inner")
+    )
     if prefilter is not None:
         matched = matched.join(prefilter, ["qnum", "doc_id"], "left_semi")
 
@@ -217,7 +273,7 @@ def run_query_batch(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
 ) -> DataFrame:
     compiled = [compile_query(qnum, text, expansion) for qnum, text in queries]
-    terms = query_terms_df(spark, compiled, term_buckets)
+    terms = query_terms_df(spark, compiled, term_buckets, index=index)
     return rank(index["postings"], terms, index["doc_stats"], top_k=top_k)
 
 

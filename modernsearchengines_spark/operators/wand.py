@@ -38,12 +38,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _matched(postings: DataFrame, terms: DataFrame) -> DataFrame:
-    from .query import pruned_postings
+def _qterm_side(terms: DataFrame):
+    """Broadcast side of the retrieval join; carries (idf, avgdl) when the
+    query-terms frame was enriched for a deferred-scoring layout
+    (query.attach_scoring_stats)."""
+    cols = ["term_bucket", "term", "qnum"]
+    if "idf" in terms.columns:
+        cols += ["idf", "avgdl"]
+    return F.broadcast(terms.select(*cols))
 
-    return pruned_postings(postings, terms).join(
-        F.broadcast(terms.select("term_bucket", "term", "qnum")),
-        ["term_bucket", "term"],
+
+def _matched(postings: DataFrame, terms: DataFrame) -> DataFrame:
+    from .query import ensure_bm25, pruned_postings, score_cols
+
+    postings = pruned_postings(postings, terms)
+    return ensure_bm25(
+        postings.select(
+            "term_bucket", "term", "doc_id", *score_cols(postings)
+        ).join(_qterm_side(terms), ["term_bucket", "term"])
     ).select("qnum", "doc_id", "bm25")
 
 
@@ -66,13 +78,15 @@ def _ub_and_exact(
     threshold θ and (for pure-BM25 scoring) the final scores come from this
     same frame, so the light pruned path runs ONE scan total and the payload
     pruned path saves its phase-B fat scan."""
-    from .query import pruned_postings
+    from .query import ensure_bm25, pruned_postings, score_cols
 
     postings = pruned_postings(postings, terms)
-    t = F.broadcast(terms.select("term_bucket", "term", "qnum"))
-    narrow = postings.join(t, ["term_bucket", "term"]).select(
-        "qnum", "term_bucket", "term", "doc_id", "block_id", "bm25"
-    )
+    t = _qterm_side(terms)
+    narrow = ensure_bm25(
+        postings.select(
+            "term_bucket", "term", "doc_id", "block_id", *score_cols(postings)
+        ).join(t, ["term_bucket", "term"])
+    ).select("qnum", "term_bucket", "term", "doc_id", "block_id", "bm25")
     b = blocks.join(t.select("term_bucket", "term").distinct(),
                     ["term_bucket", "term"])
     return (
@@ -238,11 +252,14 @@ def _payload_scores(
 
 
 def _matched_payload(postings: DataFrame, terms: DataFrame) -> DataFrame:
-    from .query import pruned_postings
+    from .query import ensure_bm25, pruned_postings, score_cols
 
-    return pruned_postings(postings, terms).join(
-        F.broadcast(terms.select("term_bucket", "term", "qnum")),
-        ["term_bucket", "term"],
+    postings = pruned_postings(postings, terms)
+    return ensure_bm25(
+        postings.select(
+            "term_bucket", "term", "doc_id", "positions_vb",
+            *score_cols(postings),
+        ).join(_qterm_side(terms), ["term_bucket", "term"])
     ).select("qnum", "doc_id", "bm25", "positions_vb")
 
 

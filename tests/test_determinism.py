@@ -24,8 +24,8 @@ def test_index_rebuild_identical(spark, docs_df):
 
     def signature():
         idx = indexer.build_index(spark, clean)
-        rows = idx["postings"].select("term", "doc_id", "tf", "bm25").collect()
-        sig = sorted((r.term, r.doc_id, r.tf, r.bm25) for r in rows)
+        rows = idx["postings"].select("term", "doc_id", "tf", "dl").collect()
+        sig = sorted((r.term, r.doc_id, r.tf, r.dl) for r in rows)
         indexer.unpersist_index(idx)
         return sig
 

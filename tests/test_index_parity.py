@@ -88,12 +88,20 @@ def test_doc_lengths_match(spark_index, oracle_index):
 def test_postings_match_oracle(spark_index, oracle_index):
     # Persisted schema stores positions ONLY as the varbyte blob — the raw
     # int array must not survive into the index table — and per-term df/idf
-    # live in the normalized terms table, not on every posting row.
+    # live in the normalized terms table, not on every posting row.  Under
+    # deferred scoring (indexer.bm25_expr) bm25 itself is NOT materialized
+    # either: consumers compute it post-join from (tf, dl, idf, avgdl).
     assert "positions" not in spark_index["postings"].columns
     assert "df" not in spark_index["postings"].columns
     assert "idf" not in spark_index["postings"].columns
+    assert "bm25" not in spark_index["postings"].columns
+    avgdl = float(
+        spark_index["corpus_stats"].select("avg_doc_len").collect()[0][0]
+    )
     rows = spark_index["postings"].join(
-        spark_index["terms"].select("term", "df"), "term"
+        spark_index["terms"].select("term", "df", "idf"), "term"
+    ).withColumn(
+        "bm25", indexer.bm25_expr("idf", "tf", "dl", F.lit(avgdl))
     ).select(
         "term", "doc_id", "tf", "df", "positions_vb", "bm25"
     ).collect()
@@ -129,8 +137,15 @@ def test_df_prune_applied(spark_index):
 def test_block_max_consistency(spark_index):
     """blocks(term, block_id, block_max_bm25) exactly matches the per-
     (term, doc-range-block) maxima of the postings, 1:1."""
+    avgdl = float(
+        spark_index["corpus_stats"].select("avg_doc_len").collect()[0][0]
+    )
     derived = (
         spark_index["postings"]
+        .join(spark_index["terms"].select("term", "idf"), "term")
+        .withColumn(
+            "bm25", indexer.bm25_expr("idf", "tf", "dl", F.lit(avgdl))
+        )
         .groupBy("term", "block_id")
         .agg(F.max("bm25").alias("m"))
     )

@@ -42,7 +42,7 @@ def test_retrieval_join_broadcasts_and_prunes_buckets(spark, docs_df, tmp_path):
     idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
     indexer.write_index(idx, str(tmp_path / "idx"))
     disk = indexer.read_index(spark, str(tmp_path / "idx"))
-    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")])
+    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")], index=disk)
     ranked = query.rank(disk["postings"], terms, disk["doc_stats"], top_k=10)
     plan = formatted_plan(ranked)
     assert "BroadcastHashJoin" in plan
@@ -93,7 +93,7 @@ def test_light_topk_scan_prunes_blob_column(spark, docs_df, tmp_path):
     idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
     indexer.write_index(idx, str(tmp_path / "idx"))
     disk = indexer.read_index(spark, str(tmp_path / "idx"))
-    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")])
+    terms = query.query_terms_df(spark, [compile_query(1, "castle museum")], index=disk)
     light = wand.bm25_topk_exhaustive(disk["postings"], terms, 10)
     assert "positions_vb" not in read_schema_columns(light)
     # the payload mode DOES read it

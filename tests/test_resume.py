@@ -18,8 +18,8 @@ def clean(spark, docs_df):
 
 
 def _index_signature(idx):
-    rows = idx["postings"].select("term", "doc_id", "tf", "bm25").collect()
-    return {(r.term, r.doc_id): (r.tf, round(r.bm25, 9)) for r in rows}
+    rows = idx["postings"].select("term", "doc_id", "tf", "dl").collect()
+    return {(r.term, r.doc_id): (r.tf, r.dl) for r in rows}
 
 
 def test_partial_build_then_resume_identical(spark, clean, tmp_path):

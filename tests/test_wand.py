@@ -27,7 +27,7 @@ def spark_index(spark, docs_df):
 @pytest.fixture(scope="module")
 def terms(spark, spark_index):
     compiled = [compile_query(q, t) for q, t in QUERIES]
-    return query.query_terms_df(spark, compiled).cache()
+    return query.query_terms_df(spark, compiled, index=spark_index).cache()
 
 
 @pytest.mark.parametrize("k", [10, 100])

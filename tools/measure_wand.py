@@ -17,7 +17,7 @@ index = indexer.read_index(spark, "/tmp/msengines_bench/idx_high")
 index["postings"] = index["postings"].cache()
 index["postings"].count()
 compiled = [compile_query(q, t) for q, t in WAND_QUERIES]
-terms = query.query_terms_df(spark, compiled)
+terms = query.query_terms_df(spark, compiled, index=index)
 
 def warm(fn, n=3):
     runs = []

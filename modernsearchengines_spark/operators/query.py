@@ -70,8 +70,13 @@ def attach_scoring_stats(
     The idf lookup is a literal-pruned scan of the bucketed terms table
     collected driver-side — O(#query terms) rows, the same "small side
     stays driver-resident" discipline as the query compilation itself.
-    Terms absent from the index (df-pruned) get idf 0; their postings
-    don't exist, so the value is never multiplied against a row.
+
+    INNER semantics: a query term absent from the terms table (df-pruned,
+    O-19) is dropped from the frame, so its postings — which MAY exist
+    on disk under the pipelined unpruned segment layout
+    (checkpoint.build_index_pipelined) — never enter the retrieval join.
+    This enforces the df>5 prune at query time identically to pruned
+    storage: same matched rows, same match_count, same scores.
     """
     rows = pruned_postings(index["terms"], terms).select("term", "idf").collect()
     avgdl = float(index["corpus_stats"].select("avg_doc_len").collect()[0][0])
@@ -79,10 +84,8 @@ def attach_scoring_stats(
     lut = spark.createDataFrame(
         [(r.term, float(r.idf)) for r in rows], "term string, idf double"
     )
-    return (
-        terms.join(F.broadcast(lut), "term", "left")
-        .withColumn("idf", F.coalesce("idf", F.lit(0.0)))
-        .withColumn("avgdl", F.lit(avgdl))
+    return terms.join(F.broadcast(lut), "term", "inner").withColumn(
+        "avgdl", F.lit(avgdl)
     )
 
 

@@ -200,6 +200,22 @@ def q_plm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light pruned top-k (wand.bm25_topk_wand): the block-max candidate
+    pipeline — fused ub+exact scan, θ-seeding, phase-C filter — with α=0
+    (pure Σ bm25, no payload UDF), so the WHOLE pruning machinery is
+    ANSI-SQL-expressible and hash-checked against the DuckDB BM25 oracle
+    (VERDICT r02 next-step 5).  Rank-identity with the exhaustive path is
+    separately locked by tests/test_wand.py."""
+    from modernsearchengines_spark.operators import wand
+
+    postings, blocks, qterms = _payload_index(spark, sf_dir)
+    out = wand.bm25_topk_wand(postings, blocks, qterms, k=20)
+    return out.select(
+        "qnum", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-31: token-count doc lengths."""
     docs = _t(spark, sf_dir, "documents")
@@ -512,6 +528,30 @@ def q_minspan_proximity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
         .groupBy("doc_id")
         .agg(F.collect_list("positions").alias("lists"))
+    )
+    return lists.select(
+        "doc_id", F.round(min_span_score_udf("lists"), 6).alias("prox")
+    )
+
+
+def q_minspan_proximity_3term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-53, 3-term bounded case, ENGINE UDF hash-checked (VERDICT r02
+    next-step 6): docs containing all of spark/join/merge scored by the
+    k-way heap-scan pandas UDF; the DuckDB twin is the relational
+    formulation (min over joined position triples of greatest−least+1 —
+    the heap scan computes exactly the minimal covering window, so the two
+    agree bit-for-bit under the same 1/(span/3) operand order)."""
+    from modernsearchengines_spark.operators.proximity import min_span_score_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    lists = (
+        toks.filter(F.col("token").isin("spark", "join", "merge"))
+        .groupBy("doc_id", "token")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("positions").alias("lists"))
+        .filter(F.size("lists") == 3)
     )
     return lists.select(
         "doc_id", F.round(min_span_score_udf("lists"), 6).alias("prox")
@@ -835,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "payload_topk": q_payload_topk,
         "plm_topk": q_plm_topk,
+        "wand_pruned_topk": q_wand_pruned_topk,
         "doc_lengths": q_doc_lengths,
         "term_df_pruned": q_term_df_pruned,
         "postings_tf": q_postings_tf,
@@ -859,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_histogram": q_domain_histogram,
         "proximity_2term": q_proximity_2term,
         "minspan_proximity_udf": q_minspan_proximity_udf,
+        "minspan_proximity_3term": q_minspan_proximity_3term,
         "token_set_ops": q_token_set_ops,
         "events_sliding": q_events_sliding,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -913,6 +955,43 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY raw_score DESC, doc_id ASC) AS 
 SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(raw_score, 6) AS score,
        CAST(n_terms AS BIGINT) AS n_terms
 FROM ranked WHERE rank <= 20
+""",
+        "wand_pruned_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token IN ('spark','join','merge','window') GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS bm25
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+),
+per_doc AS (SELECT doc_id, SUM(bm25) AS score FROM scored GROUP BY doc_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM per_doc)
+SELECT CAST(1 AS INT) AS qnum, CAST(rank AS INT) AS rank, doc_id,
+       ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 20
+""",
+        "minspan_proximity_3term": f"""
+WITH {_TOKS_CTE},
+a AS (SELECT doc_id, pos AS pa FROM toks WHERE token = 'spark'),
+b AS (SELECT doc_id, pos AS pb FROM toks WHERE token = 'join'),
+c AS (SELECT doc_id, pos AS pc FROM toks WHERE token = 'merge'),
+spans AS (
+    SELECT a.doc_id,
+           MIN(greatest(a.pa, b.pb, c.pc) - least(a.pa, b.pb, c.pc) + 1) AS min_span
+    FROM a JOIN b ON a.doc_id = b.doc_id JOIN c ON a.doc_id = c.doc_id
+    GROUP BY a.doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (CAST(min_span AS DOUBLE) / 3.0), 6) AS prox
+FROM spans
 """,
         "doc_lengths": f"""
 WITH {_TOKS_CTE}

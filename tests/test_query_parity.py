@@ -89,3 +89,21 @@ def test_proximity_udf_matches_oracle_fn():
     ]
     for lists in cases:
         assert min_span_score(lists) == oracle.min_span_proximity(lists)
+
+
+def test_materialize_flag_is_result_invariant(spark, spark_index):
+    """rank(materialize=False) (the plan-test twin, no localCheckpoint)
+    must return exactly the rows of the production materialized path."""
+    from modernsearchengines_spark.operators.expansion import compile_query
+
+    compiled = [compile_query(q, t) for q, t in REFERENCE_QUERIES]
+    terms = query.query_terms_df(spark, compiled, index=spark_index)
+    a = query.rank(
+        spark_index["postings"], terms, spark_index["doc_stats"], top_k=20
+    ).collect()
+    b = query.rank(
+        spark_index["postings"], terms, spark_index["doc_stats"], top_k=20,
+        materialize=False,
+    ).collect()
+    key = lambda r: (r.qnum, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)

@@ -419,9 +419,20 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-70: the 64-bit simhash itself, hash-checked — the md5-based vendored
+    simhash (functions/simhash.py) is bit-for-bit replayable in DuckDB
+    (md5 + shingle lists + per-bit vote), so the UDF's VALUES are verified,
+    which transitively grounds the dedup/near-dup entries built on it."""
+    docs = _t(spark, sf_dir, "documents")
+    from modernsearchengines_spark.operators.indexer import simhash_udf
+
+    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-70/O-28: simhash dedup (vendored 64-bit simhash UDF; Q12 exact-match
-    threshold).  UDF-bound → rows-only check."""
+    threshold).  Hash-checked via the DuckDB md5 simhash replay."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.simhash_dedup(docs, "text", ["doc_id"])
     return kept.select("doc_id", "n_chars")
@@ -429,7 +440,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming ≤ 3) via 4×16-bit pigeonhole
-    banding + bit_count verification — UDF-bound, rows-only check."""
+    banding + bit_count verification — hash-checked via the DuckDB md5
+    simhash replay (banding + xor + bit_count are plain SQL)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -893,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "subword_counts": q_subword_counts,
         "fingerprint": q_fingerprint,
+        "simhash_values": q_simhash_values,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "media_features": q_media_features,
@@ -927,6 +940,51 @@ toks AS (
                unnest(range(0, len(list_filter(string_split(text, ' '), x -> x <> '')))) AS pos
         FROM documents
     )
+)
+"""
+
+
+# DuckDB replay of the vendored md5 simhash (functions/simhash.py): token
+# shingles of width 4 over `[\p{L}\p{N}_]+` word tokens (RE2 spelling of the
+# Python `[\wÀ-ɏ]+`), feature hash = first 8 bytes of md5 (big-endian),
+# per-bit majority vote; `uns` is the unsigned 64-bit value, `simhash` its
+# two's-complement BIGINT twin (the Spark UDF's representation).
+_SIMHASH_CTE = r"""
+sh_toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS ts
+  FROM documents
+),
+sh_shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) = 0 THEN []
+         WHEN len(ts) < 4 THEN [list_aggregate(ts, 'string_agg', '')]
+         ELSE list_transform(range(1, len(ts) - 2),
+                             i -> ts[i] || ts[i+1] || ts[i+2] || ts[i+3])
+    END AS shingles
+  FROM sh_toks
+),
+sh_hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hv
+  FROM sh_shingles, unnest(shingles) AS u(s)
+),
+sh_votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh_hashes, (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh_vals AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uns
+  FROM sh_votes GROUP BY doc_id
+),
+simhash AS (
+  SELECT d.doc_id,
+         COALESCE(sv.uns, 0::HUGEINT) AS uns,
+         CAST(CASE WHEN COALESCE(sv.uns, 0::HUGEINT) >= (1::HUGEINT << 63)
+                   THEN COALESCE(sv.uns, 0::HUGEINT) - (1::HUGEINT << 64)
+                   ELSE COALESCE(sv.uns, 0::HUGEINT) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sh_vals sv USING (doc_id)
 )
 """
 
@@ -1052,6 +1110,33 @@ SELECT doc_id, n_chars FROM (
         "hamming": """
 SELECT doc_id, CAST(bit_count(xor(doc_id, CAST(n_chars AS BIGINT))) AS INT) AS ham
 FROM documents
+""",
+        "simhash_values": f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM simhash
+""",
+        "simhash_dedup": f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, n_chars FROM (
+    SELECT s.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY s.simhash ORDER BY s.doc_id) AS rn
+    FROM simhash s JOIN documents d USING (doc_id)
+) WHERE rn = 1
+""",
+        "simhash_near_dup": f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+    SELECT doc_id, uns, b.band, (uns >> (b.band * 16)) & 65535 AS key
+    FROM simhash, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.uns, b.uns)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.uns, b.uns)) <= 3
+)
+SELECT id_a, id_b, hamming FROM pairs
 """,
         "minhash_lsh_jaccard": """
 WITH toks AS (
@@ -1354,6 +1439,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
 """,
-        # subword_counts, simhash_dedup/near_dup, media_features,
-        # minspan_proximity_udf: UDF/Java-regex-bound → rows-only.
+        # subword_counts, media_features, minspan_proximity_udf (general k),
+        # payload_topk/plm_topk (UDF payload scorers): rows-only by design;
+        # the simhash family is hash-checked via the md5 replay above.
     }

@@ -450,7 +450,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat each document's text bytes as an opaque
     binary payload → metadata sniff + mapInPandas feature extraction
-    (deterministic fake decoder; real codec injectable).  Rows-only."""
+    (deterministic fake decoder; real codec injectable).  Hash-checked:
+    the fake decoder (rolling every-32nd-byte checksum mod 997, float32)
+    is replayed in DuckDB — the fixture text is ASCII so byte positions
+    equal char positions in the SQL twin."""
     from modernsearchengines_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -459,7 +462,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = multimodal.extract_features(docs)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id", "n_bytes",
+        # upcast the float32 feature to double BEFORE rounding (round on a
+        # FloatType returns float32, where .016048 is unrepresentable)
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -1111,6 +1117,17 @@ SELECT doc_id, n_chars FROM (
 SELECT doc_id, CAST(bit_count(xor(doc_id, CAST(n_chars AS BIGINT))) AS INT) AS ham
 FROM documents
 """,
+        "media_features": """
+WITH f AS (
+  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         COALESCE((SELECT SUM(ascii(substr(text, CAST(i AS INT), 1)))
+                   FROM unnest(range(1, length(text)+1, 32)) AS u(i)), 0) AS s
+  FROM documents
+)
+SELECT media_id, n_bytes,
+       ROUND(CAST(CAST((s % 997) / 997.0 AS REAL) AS DOUBLE), 6) AS f0
+FROM f
+""",
         "simhash_values": f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM simhash
@@ -1439,7 +1456,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
 """,
-        # subword_counts, media_features, minspan_proximity_udf (general k),
-        # payload_topk/plm_topk (UDF payload scorers): rows-only by design;
-        # the simhash family is hash-checked via the md5 replay above.
+        # subword_counts, minspan_proximity_udf (general k), payload_topk/
+        # plm_topk (UDF payload scorers): rows-only by design; the simhash
+        # family and media_features are hash-checked via SQL replays above.
     }

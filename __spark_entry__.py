@@ -168,8 +168,10 @@ def q_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     α·min-span over varbyte-decoded positions, rank-safe cascade-bound
     candidate pruning (exact light score + payload cap as the upper
     bound), rank-identical to the exhaustive twin (tests/test_wand.py).
-    Rows-only in the gate: the min-span heap scan is UDF-bound (same
-    status as minspan_proximity_udf)."""
+    Hash-checked: with the 4 query terms fixed, the min-span heap scan is
+    replayable in SQL via the classic min-window-ending-at-each-position
+    formulation (running per-term last-occurrence maxima), so DuckDB
+    verifies the full pruned payload pipeline's VALUES, not just rows."""
     from modernsearchengines_spark.operators import wand
 
     postings, blocks, qterms = _payload_index(spark, sf_dir)
@@ -1117,6 +1119,64 @@ SELECT doc_id, n_chars FROM (
 SELECT doc_id, CAST(bit_count(xor(doc_id, CAST(n_chars AS BIGINT))) AS INT) AS ham
 FROM documents
 """,
+        "payload_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token IN ('spark','join','merge','window') GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS bm25
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+),
+per_doc AS (SELECT doc_id, SUM(bm25) AS bm25_sum FROM scored GROUP BY doc_id),
+qpos AS (SELECT doc_id, token, pos FROM toks
+         WHERE token IN ('spark','join','merge','window')),
+m AS (SELECT doc_id,
+             MAX(CASE WHEN token='spark'  THEN 1 ELSE 0 END) AS has_s,
+             MAX(CASE WHEN token='join'   THEN 1 ELSE 0 END) AS has_j,
+             MAX(CASE WHEN token='merge'  THEN 1 ELSE 0 END) AS has_m,
+             MAX(CASE WHEN token='window' THEN 1 ELSE 0 END) AS has_w
+      FROM qpos GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, pos,
+         MAX(CASE WHEN token='spark'  THEN pos END) OVER w AS ls,
+         MAX(CASE WHEN token='join'   THEN pos END) OVER w AS lj,
+         MAX(CASE WHEN token='merge'  THEN pos END) OVER w AS lm,
+         MAX(CASE WHEN token='window' THEN pos END) OVER w AS lw
+  FROM qpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spans AS (
+  SELECT r.doc_id,
+         MIN(r.pos - LEAST(
+              CASE WHEN m.has_s=1 THEN r.ls ELSE r.pos END,
+              CASE WHEN m.has_j=1 THEN r.lj ELSE r.pos END,
+              CASE WHEN m.has_m=1 THEN r.lm ELSE r.pos END,
+              CASE WHEN m.has_w=1 THEN r.lw ELSE r.pos END) + 1) AS min_span,
+         MAX(m.has_s + m.has_j + m.has_m + m.has_w) AS nk
+  FROM runs r JOIN m USING (doc_id)
+  WHERE (m.has_s=0 OR r.ls IS NOT NULL) AND (m.has_j=0 OR r.lj IS NOT NULL)
+    AND (m.has_m=0 OR r.lm IS NOT NULL) AND (m.has_w=0 OR r.lw IS NOT NULL)
+  GROUP BY r.doc_id
+),
+final AS (
+  SELECT p.doc_id,
+         p.bm25_sum + 1.0 * (CASE WHEN s.nk >= 2
+             THEN 1.0 / (CAST(s.min_span AS DOUBLE) / s.nk) ELSE 0.0 END) AS score
+  FROM per_doc p JOIN spans s USING (doc_id)
+),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM final)
+SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 20
+""",
         "media_features": """
 WITH f AS (
   SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
@@ -1456,7 +1516,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
 """,
-        # subword_counts, minspan_proximity_udf (general k), payload_topk/
-        # plm_topk (UDF payload scorers): rows-only by design; the simhash
-        # family and media_features are hash-checked via SQL replays above.
+        # subword_counts (Java-regex lookarounds), minspan_proximity_udf
+        # (general k), plm_topk (Gaussian-kernel scorer): rows-only by
+        # design; the simhash family, media_features, and payload_topk are
+        # hash-checked via the SQL replays above.
     }

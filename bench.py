@@ -381,6 +381,67 @@ def time_queries(spark, index, sf_dir: str) -> dict:
     return out
 
 
+def time_query_batch(cores: int, idx_dir: str, n_queries: int = 32) -> dict:
+    """One timed top-k batch (bm25_topk_exhaustive, the auto-dispatch
+    choice for light scoring) over the built index at ``cores`` — the
+    query-side half of the north_rule's two-parallelism-levels evidence.
+
+    Workload: ``n_queries`` deterministic 3-term queries sampled from the
+    fixture vocabulary head (seed 7), run as ONE Spark job (the batch
+    design), warm (postings cached + 1 untimed warmup), best of 2.
+    """
+    import random
+
+    from modernsearchengines_spark.operators import indexer, query, wand
+    from modernsearchengines_spark.operators.expansion import compile_query
+    from modernsearchengines_spark.session import get_spark
+    from modernsearchengines_spark.sources.docs import _vocab
+
+    spark = get_spark(
+        f"bench-qscale-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    index = indexer.read_index(spark, idx_dir)
+    rng = random.Random(7)
+    vocab = _vocab(rng)
+    qs = [(i + 1, " ".join(rng.sample(vocab[:400], 3))) for i in range(n_queries)]
+    compiled = [compile_query(q, t) for q, t in qs]
+    terms = query.query_terms_df(spark, compiled, index=index)
+    index["postings"] = index["postings"].cache()
+    index["postings"].count()
+    wand.bm25_topk_exhaustive(index["postings"], terms, 100).count()
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        wand.bm25_topk_exhaustive(index["postings"], terms, 100).count()
+        runs.append(round(time.time() - t0, 3))
+    spark.stop()
+    wall = min(runs)
+    return {
+        "cores": cores,
+        "n_queries": n_queries,
+        "wall_sec": wall,
+        "runs": runs,
+        "queries_per_sec": round(n_queries / wall, 3),
+    }
+
+
+def query_scaling_sandwich(low: int, high: int, idx_dir: str) -> dict:
+    """L-H-L sandwich for the query batch (same drift-cancelling design as
+    the index-build sandwich)."""
+    l0 = time_query_batch(low, idx_dir)
+    h = time_query_batch(high, idx_dir)
+    l1 = time_query_batch(low, idx_dir)
+    low_qps = (l0["queries_per_sec"] + l1["queries_per_sec"]) / 2
+    speedup = h["queries_per_sec"] / low_qps
+    return {
+        "low": l0,
+        "low_repeat": l1,
+        "high": h,
+        "engine_speedup": round(speedup, 3),
+        "scaling_efficiency_raw": round(speedup / (high / low), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -479,9 +540,15 @@ def main() -> None:
         # it (overlap removes serial time the ceiling assumes).
         tok_l = classic_low["tokenize_phase_sec"]
         lay_l = classic_low["layout_phase_sec"]
+        # Floor the DRAM ceiling at 1.0: a measured mem_speedup < 1 means
+        # 4x the copy processes moved FEWER bytes/sec — only possible when
+        # external contention (hypervisor neighbors) polluted the
+        # calibration window, and folding that noise into the ceiling
+        # would inflate the composite denominator's meaning.  Parallel
+        # scale-up of a saturated bus yields 1.0 at worst.
         composite_speedup = (tok_l + lay_l) / (
-            tok_l / max(hw["hw_speedup"], 1e-9)
-            + lay_l / max(mem["mem_speedup"], 1e-9)
+            tok_l / max(hw["hw_speedup"], 1.0)
+            + lay_l / max(mem["mem_speedup"], 1.0)
         )
         scaling = {
             "low": r_low,
@@ -519,6 +586,13 @@ def main() -> None:
                 ),
             },
         }
+
+    # --- query-side N vs 4N scaling (north_rule: build AND query) ----------
+    qscaling = {}
+    if do_scaling:
+        qscaling = query_scaling_sandwich(
+            max(cpus // 4, 2), cpus, f"{CORPUS_CACHE}/idx_high"
+        )
 
     # --- query latency on the built index ----------------------------------
     from modernsearchengines_spark.operators import indexer
@@ -656,6 +730,36 @@ def main() -> None:
             "1/2).",
             "",
         ]
+    if qscaling:
+        lines += [
+            "## Query-batch throughput & scaling (north_rule evidence, query side)",
+            "",
+            "Same two-parallelism-levels protocol as the index build, on the "
+            "retrieval core: one Spark job running a 32-query disjunctive "
+            "BM25 top-100 batch (bm25_topk_exhaustive — the auto-dispatch "
+            "plan for light scoring) over the built 400k-doc index, warm, "
+            "L-H-L sandwich.",
+            "",
+            "| parallelism | wall (s, best of 2) | queries/sec |",
+            "|---|---|---|",
+            f"| local[{qscaling['low']['cores']}] | {qscaling['low']['wall_sec']}"
+            f" | {qscaling['low']['queries_per_sec']} |",
+            f"| local[{qscaling['high']['cores']}] | {qscaling['high']['wall_sec']}"
+            f" | {qscaling['high']['queries_per_sec']} |",
+            f"| local[{qscaling['low_repeat']['cores']}] (repeat) | {qscaling['low_repeat']['wall_sec']}"
+            f" | {qscaling['low_repeat']['queries_per_sec']} |",
+            "",
+            f"Query-batch speedup N→4N: **{qscaling['engine_speedup']}×** "
+            f"(raw efficiency {qscaling['scaling_efficiency_raw']}). The "
+            "workload is a cached-columnar scan + broadcast join + "
+            "hash aggregation — memory-bandwidth-bound like the layout "
+            "phase, so the same single-box DRAM ceiling discussion above "
+            "applies: the plan itself is hash-partitioned with map-side "
+            "combine throughout (no serializing stage), and a real N→4N "
+            "executor scale-up multiplies the memory buses the ceiling is "
+            "made of.",
+            "",
+        ]
     lines += [
         "## Top-k query latency (fixture index, reference query set)",
         "",
@@ -712,6 +816,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reference_singlenode": ref_baseline,
         "index_scaling": scaling,
+        "query_scaling": qscaling,
         "query_latency": latency,
         "strategy_bytes": strategy_bytes,
     }
@@ -735,6 +840,9 @@ def main() -> None:
             "scaling_efficiency_vs_composite_ceiling"
         ]
         compact["docs_per_sec"] = scaling["high"]["docs_per_sec"]
+    if qscaling:
+        compact["query_speedup"] = qscaling["engine_speedup"]
+        compact["query_qps"] = qscaling["high"]["queries_per_sec"]
     print(json.dumps(compact))
 
 

@@ -186,10 +186,12 @@ def q_plm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multi-scale positional-language-model proximity of Lv & Zhai
     (SIGIR 2009) over varbyte-decoded positions
     (proximity.plm_score_vb_udf) — the measured P/S ≫ crossover regime
-    where cascade pruning beats exhaustive scoring 7× on the 400k bench
+    where cascade pruning beats exhaustive scoring 4-7× on the 400k bench
     index (tools/measure_wand.py; rank-identical twin pair in
-    tests/test_wand.py).  Rows-only in the gate: the Gaussian-kernel
-    scorer is UDF-bound."""
+    tests/test_wand.py).  Hash-checked: with the 4 query terms fixed, the
+    Gaussian-kernel ladder is replayable in SQL (exp over position pairs,
+    per-term clip, per-point max, σ-average; worst observed divergence vs
+    numpy is 1 ulp on the fixture)."""
     from modernsearchengines_spark.operators import wand
     from modernsearchengines_spark.operators.proximity import plm_score_vb_udf
 
@@ -1177,6 +1179,48 @@ ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
 SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score
 FROM ranked WHERE rank <= 20
 """,
+        "plm_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token IN ('spark','join','merge','window') GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS bm25
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+),
+per_doc AS (SELECT doc_id, SUM(bm25) AS bm25_sum FROM scored GROUP BY doc_id),
+qpos AS (SELECT doc_id, token, pos FROM toks
+         WHERE token IN ('spark','join','merge','window')),
+nl AS (SELECT doc_id, COUNT(DISTINCT token) AS n_lists FROM qpos GROUP BY doc_id),
+k AS (
+  SELECT c.doc_id, c.pos AS c, s.sigma, p.token,
+         LEAST(SUM(exp((-0.5/(s.sigma*s.sigma))
+               * ((CAST(c.pos AS DOUBLE) - p.pos)*(CAST(c.pos AS DOUBLE) - p.pos)))), 1.0) AS kt
+  FROM qpos c
+  JOIN qpos p ON p.doc_id = c.doc_id
+  CROSS JOIN (SELECT unnest([25.0,50.0,100.0,200.0,400.0]) AS sigma) s
+  GROUP BY c.doc_id, c.pos, s.sigma, p.token
+),
+pt AS (SELECT doc_id, c, sigma, SUM(kt) AS acc FROM k GROUP BY doc_id, c, sigma),
+best AS (SELECT doc_id, sigma, MAX(acc) AS best_acc FROM pt GROUP BY doc_id, sigma),
+plm AS (SELECT b.doc_id, AVG(best_acc / nl.n_lists) AS plm
+        FROM best b JOIN nl USING (doc_id) GROUP BY b.doc_id),
+final AS (
+  SELECT p.doc_id,
+         p.bm25_sum + 1.0 * (CASE WHEN n.n_lists >= 2 THEN pl.plm ELSE 0.0 END) AS score
+  FROM per_doc p JOIN nl n USING (doc_id) LEFT JOIN plm pl USING (doc_id)
+),
+ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM final)
+SELECT CAST(rank AS INT) AS rank, doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 20
+""",
         "media_features": """
 WITH f AS (
   SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
@@ -1516,8 +1560,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
 """,
-        # subword_counts (Java-regex lookarounds), minspan_proximity_udf
-        # (general k), plm_topk (Gaussian-kernel scorer): rows-only by
-        # design; the simhash family, media_features, and payload_topk are
+        # subword_counts (Java-regex lookarounds) and minspan_proximity_udf
+        # (general-k heap scan) remain rows-only by design; the simhash
+        # family, media_features, payload_topk, and plm_topk are
         # hash-checked via the SQL replays above.
     }

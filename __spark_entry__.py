@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship BM25 top-k pipeline on sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 plus the training-data pipeline operators (dedup, ANN
-similarity, text analysis); ``oracle_sql()`` gives the DuckDB twin for every
-SQL-expressible entry (UDF-bound operators — simhash, proximity, subword
-regex — are rows-only by design and documented as such).
+similarity, text analysis); ``oracle_sql()`` gives a DuckDB twin for EVERY
+entry — the UDF-bound operators (simhash, min-span/PLM proximity, subword
+regex, media features) are value-hash-checked via exact SQL replays
+(md5 simhash, min-window-per-position spans, Gaussian-kernel ladder,
+run-count derivations) rather than left rows-only.
 
 Column-name and rounding discipline: every computed column is aliased
 identically on both sides; float aggregates go through exact DECIMAL sums
@@ -408,8 +410,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword counting (Java-regex split with lookarounds — not
-    expressible in DuckDB's RE2, hence rows-only)."""
+    """BPE-ish subword counting.  The Java-regex lookaround split itself is
+    not expressible in DuckDB's RE2, but the piece COUNT is: per
+    whitespace word it equals #alnum-runs (+1 when the word has a trailing
+    symbol run; 1 for all-symbol words) — hash-checked via that derived
+    form."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", ta.bpe_ish_token_count(F.col("text")).alias("n_subwords")
@@ -538,8 +543,11 @@ def q_proximity_2term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minspan_proximity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-53 general k-list min-span via the engine's heap-scan pandas UDF
-    (rows-only: the k-way early-terminating heap walk is not ANSI SQL)."""
+    """O-53 general k-list min-span via the engine's heap-scan pandas UDF.
+    Hash-checked: for this entry's fixed 3-term list the heap scan equals
+    the min-window-ending-at-each-position SQL over the doc's MATCHED
+    subset (1/2/3 lists — the per-term running maxima handle the variable
+    cardinality), so DuckDB verifies the UDF over every matched-set shape."""
     from modernsearchengines_spark.operators.proximity import min_span_score_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -1046,6 +1054,42 @@ SELECT CAST(1 AS INT) AS qnum, CAST(rank AS INT) AS rank, doc_id,
        ROUND(score, 6) AS score
 FROM ranked WHERE rank <= 20
 """,
+        "minspan_proximity_udf": f"""
+WITH {_TOKS_CTE},
+qpos AS (SELECT doc_id, token, pos FROM toks
+         WHERE token IN ('spark','join','merge')),
+m AS (SELECT doc_id,
+             MAX(CASE WHEN token='spark' THEN 1 ELSE 0 END) AS has_s,
+             MAX(CASE WHEN token='join'  THEN 1 ELSE 0 END) AS has_j,
+             MAX(CASE WHEN token='merge' THEN 1 ELSE 0 END) AS has_m
+      FROM qpos GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, pos,
+         MAX(CASE WHEN token='spark' THEN pos END) OVER w AS ls,
+         MAX(CASE WHEN token='join'  THEN pos END) OVER w AS lj,
+         MAX(CASE WHEN token='merge' THEN pos END) OVER w AS lm
+  FROM qpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spans AS (
+  SELECT r.doc_id,
+         MIN(r.pos - LEAST(
+              CASE WHEN m.has_s=1 THEN r.ls ELSE r.pos END,
+              CASE WHEN m.has_j=1 THEN r.lj ELSE r.pos END,
+              CASE WHEN m.has_m=1 THEN r.lm ELSE r.pos END) + 1) AS min_span,
+         MAX(m.has_s + m.has_j + m.has_m) AS nk
+  FROM runs r JOIN m USING (doc_id)
+  WHERE (m.has_s=0 OR r.ls IS NOT NULL) AND (m.has_j=0 OR r.lj IS NOT NULL)
+    AND (m.has_m=0 OR r.lm IS NOT NULL)
+  GROUP BY r.doc_id
+)
+SELECT doc_id,
+       ROUND(CASE WHEN nk >= 2
+                  THEN 1.0 / (CAST(min_span AS DOUBLE) / nk) ELSE 0.0 END,
+             6) AS prox
+FROM spans
+""",
         "minspan_proximity_3term": f"""
 WITH {_TOKS_CTE},
 a AS (SELECT doc_id, pos AS pa FROM toks WHERE token = 'spark'),
@@ -1231,6 +1275,25 @@ WITH f AS (
 SELECT media_id, n_bytes,
        ROUND(CAST(CAST((s % 997) / 997.0 AS REAL) AS DOUBLE), 6) AS f0
 FROM f
+""",
+        "subword_counts": r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(w, '[a-z0-9]+')) = 0 THEN 1
+              ELSE len(regexp_extract_all(w, '[a-z0-9]+'))
+                   + CASE WHEN regexp_matches(w, '[a-z0-9]$') THEN 0 ELSE 1 END
+         END AS c
+  FROM words
+)
+SELECT d.doc_id, CAST(COALESCE(SUM(per.c), 0) AS INT) AS n_subwords
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+GROUP BY d.doc_id
 """,
         "simhash_values": f"""
 WITH {_SIMHASH_CTE}
@@ -1560,8 +1623,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
 """,
-        # subword_counts (Java-regex lookarounds) and minspan_proximity_udf
-        # (general-k heap scan) remain rows-only by design; the simhash
-        # family, media_features, payload_topk, and plm_topk are
-        # hash-checked via the SQL replays above.
+        # Every queries() entry now has a DuckDB oracle: the former
+        # rows-only set (simhash family, media_features, payload_topk,
+        # plm_topk, subword_counts, minspan_proximity_udf) is hash-checked
+        # via the SQL replays above.
     }

@@ -162,13 +162,16 @@ def tokenize(text: str, only_unique_tokens: bool = False) -> list[tuple[str, int
         chunk = normalize(text[start : start + CHUNK_LEN])
         for m in _TOKEN_RE.finditer(chunk):
             tok = m.group(0)
-            if not _IS_WORD_RE.search(tok):  # pure punctuation
-                continue
-            if tok in STOPWORDS:
-                continue
+            # The memo stores "" for dropped tokens (pure punctuation,
+            # stopwords, empty stems), so a repeated token — the common
+            # case under Zipf — costs ONE dict probe instead of a regex
+            # search + set lookup + dict probe.  Output is identical.
             stemmed = cache.get(tok)
             if stemmed is None:
-                stemmed = porter.stem(lemmatize(tok)).strip()
+                if not _IS_WORD_RE.search(tok) or tok in STOPWORDS:
+                    stemmed = ""
+                else:
+                    stemmed = porter.stem(lemmatize(tok)).strip()
                 if len(cache) < _STEM_CACHE_MAX:
                     cache[tok] = stemmed
             if not stemmed:

@@ -47,6 +47,25 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _enumerate_rank(top: DataFrame, *order) -> DataFrame:
+    """Attach ``rank`` = row_number over an already-k-bounded frame (the
+    ≤ top-k rows surviving an orderBy+limit → TakeOrderedAndProject).
+
+    The partition key is a MATERIALIZED spark_partition_id column after
+    coalesce(1) — constant 0 in value, but non-foldable: a
+    ``partitionBy(lit(0))`` is constant-folded to an EMPTY partition spec,
+    so WindowExec logs its single-partition warning on every run, noising
+    the bench tail and masking real global-window regressions.  The
+    exchange still moves only the ≤ k surviving rows."""
+    w = Window.partitionBy("_p").orderBy(*order)
+    return (
+        top.coalesce(1)
+        .withColumn("_p", F.spark_partition_id())
+        .withColumn("rank", F.row_number().over(w))
+        .drop("_p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -93,13 +112,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     # partial top-k, tiny driver merge) — NOT a global row_number window,
     # which would funnel every matched doc into one partition.  Rank is
-    # enumerated afterwards over the already-k-bounded 20 rows (the lit(0)
-    # partition key keeps the window spec non-global; the exchange moves 20
-    # rows).
+    # enumerated afterwards over the already-k-bounded 20 rows
+    # (_enumerate_rank).
     top = per_doc.orderBy(F.desc("raw_score"), F.asc("doc_id")).limit(20)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("raw_score"), F.asc("doc_id"))
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        _enumerate_rank(top, F.desc("raw_score"), F.asc("doc_id"))
         .select(
             "rank",
             "doc_id",
@@ -670,9 +687,8 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same top-k discipline as q_bm25_topk: orderBy+limit, then enumerate
     # rank over the 5 surviving rows (no global unpartitioned window).
     top = rev.orderBy(F.desc("_rev"), F.asc("n_name")).limit(5)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rev"), F.asc("n_name"))
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        _enumerate_rank(top, F.desc("_rev"), F.asc("n_name"))
         .select(
             "rank",
             "n_name",
@@ -735,10 +751,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.orderBy(
         F.desc("_rev"), F.asc("o_orderdate"), F.asc("o_orderkey")
     ).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("_rev"), F.asc("o_orderdate"), F.asc("o_orderkey")
-    )
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    return _enumerate_rank(
+        top, F.desc("_rev"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    ).select(
         "rank",
         "o_orderkey",
         F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
@@ -783,8 +798,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = rev.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(20)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("_rev"), F.asc("c_custkey"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    return _enumerate_rank(top, F.desc("_rev"), F.asc("c_custkey")).select(
         "rank",
         "c_custkey",
         "c_name",

@@ -25,12 +25,12 @@ protocol.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fsio
 from . import indexer
 
 MANIFEST_DIR = "_segments"
@@ -41,18 +41,19 @@ def segment_of(url_col, n_segments: int):
 
 
 def _manifest_path(out_dir: str, seg: int) -> str:
-    return os.path.join(out_dir, MANIFEST_DIR, f"segment-{seg:05d}.json")
+    return fsio.join(out_dir, MANIFEST_DIR, f"segment-{seg:05d}.json")
 
 
-def read_manifest(out_dir: str) -> dict[int, dict]:
-    mdir = os.path.join(out_dir, MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return {}
+def read_manifest(spark: SparkSession, out_dir: str) -> dict[int, dict]:
+    """Committed segment rows, keyed by segment id.  Routed through the
+    Hadoop FileSystem API (fsio) so the resume protocol works on any
+    scheme (hdfs://, s3a://, file:) — the same defect class the r2
+    read_index fix addressed for the reader probe."""
+    mdir = fsio.join(out_dir, MANIFEST_DIR)
     out = {}
-    for name in os.listdir(mdir):
+    for name in fsio.listdir(spark, mdir):
         if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as fh:
-                row = json.load(fh)
+            row = json.loads(fsio.read_text(spark, fsio.join(mdir, name)))
             out[row["segment_id"]] = row
     return out
 
@@ -100,9 +101,9 @@ def build_segments(
     ``fail_after`` aborts after that many segments (crash-injection for the
     resume test).  Returns the manifest rows written this run.
     """
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    fsio.mkdirs(spark, fsio.join(out_dir, MANIFEST_DIR))
     done = {
-        seg for seg, row in read_manifest(out_dir).items()
+        seg for seg, row in read_manifest(spark, out_dir).items()
         if row["status"] == "done"
     }
     docs = docs_with_ids.withColumn("_seg", segment_of(F.col("url"), n_segments))
@@ -131,10 +132,10 @@ def build_segments(
             "status": "done",
             "input_fingerprint": n_docs,
         }
-        tmp = _manifest_path(out_dir, seg) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(row, fh)
-        os.replace(tmp, _manifest_path(out_dir, seg))  # atomic commit
+        # temp-write + rename commit via the Hadoop FS (fsio docstring)
+        fsio.write_text_atomic(
+            spark, _manifest_path(out_dir, seg), json.dumps(row)
+        )
         written.append(row)
         built += 1
     return written
@@ -159,7 +160,7 @@ def merge_segments(
     partial data into the index.  Only directories with a committed 'done'
     manifest row are read.
     """
-    manifest = read_manifest(out_dir)
+    manifest = read_manifest(spark, out_dir)
     done = sorted(
         s for s, r in manifest.items() if r["status"] == "done"
     )
@@ -222,7 +223,7 @@ def build_index_checkpointed(
     docs = indexer.assign_doc_ids(clean)
     n_total = docs.count()
     build_segments(spark, docs, out_dir, n_segments, fail_after)
-    manifest = read_manifest(out_dir)
+    manifest = read_manifest(spark, out_dir)
     if len([r for r in manifest.values() if r["status"] == "done"]) < n_segments:
         return None
     return merge_segments(spark, out_dir, n_total, n_segments)
@@ -318,12 +319,11 @@ def build_index_pipelined(
     append-mode writers into the same parquet root would race in the
     commit protocol's staging directories.
     """
-    import shutil
     from concurrent.futures import ThreadPoolExecutor
 
     # fresh build: clear prior artifacts (append-mode layout accumulates)
     for sub in ("postings", "enriched", "docs_seg", MANIFEST_DIR):
-        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        fsio.rmtree(spark, fsio.join(out_dir, sub))
 
     sc = spark.sparkContext
     sc.setLocalProperty("spark.scheduler.pool", "tokenize")
@@ -406,7 +406,7 @@ def build_index_pipelined(
             f.result()
     sc.setLocalProperty("spark.scheduler.pool", None)
 
-    shutil.rmtree(os.path.join(out_dir, "docs_seg"), ignore_errors=True)
+    fsio.rmtree(spark, fsio.join(out_dir, "docs_seg"))
 
     indexer.write_blocks(
         {

@@ -157,6 +157,18 @@ def rank(
     plan-shape tests to assert pushdown/broadcast on the full logical plan;
     production callers keep the default (measured ~40% faster warm: the
     min-max stats passes otherwise re-evaluate the scan+join+UDF subtrees).
+
+    Checkpoint LIFECYCLE: each materialized rank() leaves its two
+    localCheckpoint block sets in executor storage until the driver-side
+    frame is GC'd and ContextCleaner reclaims them — a long-lived session
+    looping over rank() (one per interactive search) accumulates storage
+    between GC cycles.  Callers that loop tightly should drop references
+    promptly (the blocks are small: both checkpointed frames are
+    blob-free scalar columns) or pass ``materialize=False`` and accept the
+    recompute.  localCheckpoint blocks are also NOT fault-tolerant: on a
+    real cluster an executor loss fails the job instead of recomputing —
+    the documented trade for frames this slim; use cluster-checkpoint or
+    plain persist() where recompute-on-failure matters.
     """
     # O-24: broadcast-hash equi join, bucket-pruned on term_bucket via the
     # static literal filters of pruned_postings.  The fat positions column

@@ -12,10 +12,10 @@ same batch is a no-op (exactly-once by key).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsio
 
 
 def append_new_docs(
@@ -26,33 +26,39 @@ def append_new_docs(
     Iceberg DDL equivalent:
         MERGE INTO docs t USING new_docs s ON t.url = s.url
         WHEN NOT MATCHED THEN INSERT *
+
+    All metadata ops go through the Hadoop FileSystem API (fsio), so the
+    protocol works unchanged on hdfs://, s3a://, or explicit file: URIs.
     """
     new_docs = new_docs.dropDuplicates(["url"])
-    if os.path.isdir(corpus_dir) and any(
-        name.endswith(".parquet") for name in os.listdir(corpus_dir)
+    if fsio.is_dir(spark, corpus_dir) and any(
+        name.endswith(".parquet") for name in fsio.listdir(spark, corpus_dir)
     ):
         existing = spark.read.parquet(corpus_dir)
         to_add = new_docs.join(
             existing.select("url"), "url", "left_anti"
         ).select(*existing.columns)
     else:
-        os.makedirs(corpus_dir, exist_ok=True)
+        fsio.mkdirs(spark, corpus_dir)
         to_add = new_docs
     # Materialize the anti-join into a staging dir BEFORE touching the
     # target (writing into the directory being scanned would race the read),
-    # then move the staged files in — the poor man's snapshot commit.
-    import shutil
+    # then move the staged files in — the poor man's snapshot commit.  The
+    # underscore prefix keeps half-moved staging dirs invisible to readers.
     import uuid
 
-    staging = os.path.join(corpus_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    staging = fsio.join(corpus_dir, f"_staging_{uuid.uuid4().hex[:8]}")
     to_add.write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
     if n:
-        for name in os.listdir(staging):
+        for name in fsio.listdir(spark, staging):
             if name.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(staging, name),
-                    os.path.join(corpus_dir, f"batch_{uuid.uuid4().hex[:8]}_{name}"),
+                fsio.move(
+                    spark,
+                    fsio.join(staging, name),
+                    fsio.join(
+                        corpus_dir, f"batch_{uuid.uuid4().hex[:8]}_{name}"
+                    ),
                 )
-    shutil.rmtree(staging, ignore_errors=True)
+    fsio.rmtree(spark, staging)
     return n

@@ -106,4 +106,14 @@ def test_materialize_flag_is_result_invariant(spark, spark_index):
         materialize=False,
     ).collect()
     key = lambda r: (r.qnum, r.rank)
-    assert sorted(a, key=key) == sorted(b, key=key)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    # Ranks/ids compare exactly; the double columns (score, bm25_sum) go
+    # through F.sum, which is row-order-sensitive — a partitioning
+    # difference between the checkpointed and recomputed paths may
+    # legitimately differ in the last ulp, so compare those approximately.
+    assert [(r.qnum, r.rank, r.doc_id, r.url, r.match_count) for r in a] == [
+        (r.qnum, r.rank, r.doc_id, r.url, r.match_count) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert ra.score == pytest.approx(rb.score, rel=1e-9)
+        assert ra.bm25_sum == pytest.approx(rb.bm25_sum, rel=1e-9)

@@ -31,7 +31,7 @@ def test_partial_build_then_resume_identical(spark, clean, tmp_path):
         spark, clean, out, n_segments=n_segments, fail_after=2
     )
     assert result is None
-    manifest = checkpoint.read_manifest(out)
+    manifest = checkpoint.read_manifest(spark, out)
     assert len(manifest) == 2
     for row in manifest.values():
         assert row["status"] == "done"
@@ -43,7 +43,7 @@ def test_partial_build_then_resume_identical(spark, clean, tmp_path):
         spark, clean, out, n_segments=n_segments
     )
     assert result is not None
-    manifest = checkpoint.read_manifest(out)
+    manifest = checkpoint.read_manifest(spark, out)
     assert sorted(manifest) == list(range(n_segments))
 
     # Lineage totals add up to the corpus.

@@ -60,26 +60,73 @@ def simhash_dedup(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFr
     return exact_dedup(hashed, ["_simhash"], order_cols).drop("_simhash")
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str,
+def _simhash_block_tables(
+    n_blocks: int, max_hamming: int
+) -> tuple[list[int], list[int], list[tuple[int, ...]]]:
+    """(widths, lsb_starts, tables) for the combination banding scheme.
+
+    The 64 bits split into ``n_blocks`` near-equal blocks; one table per
+    combination of ``n_blocks − max_hamming`` blocks.  Pigeonhole: a pair
+    within hamming ≤ max_hamming differs in ≤ max_hamming blocks, so SOME
+    (n_blocks − max_hamming)-subset of blocks is bit-identical — that
+    subset's table catches the pair.  Exact recall by construction.
+    """
+    import itertools
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})"
+        )
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    tables = list(
+        itertools.combinations(range(n_blocks), n_blocks - max_hamming)
+    )
+    return widths, starts, tables
+
+
+def simhash_candidate_pairs(
+    hashed: DataFrame,
     id_col: str,
     max_hamming: int = 3,
-    n_bands: int = 4,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash NEAR-duplicate pairs (hamming ≤ max_hamming) without O(n²).
+    """LSH candidate generation for :func:`simhash_near_dup_pairs`:
+    (id_a, id_b, sh_a, sh_b) pairs colliding in ≥1 banding table, BEFORE
+    hamming verification.  Exposed so tests/capacity planning can measure
+    candidate volume per scheme.  ``hashed`` carries (id_col, _sh).
 
-    Pigeonhole banding: split the 64-bit simhash into ``n_bands`` 16-bit
-    bands; any pair within hamming ≤ n_bands−1 shares at least one identical
-    band, so a per-band equi-self-join finds all candidates, verified
-    exactly with ``bit_count(xor)`` (O-71).  All JVM-side except the simhash
-    UDF itself.  (The reference's >0.99 threshold is hamming 0 — Q12 exact
-    dedup — this operator generalizes it to true near-dup at scale.)
+    Scale math (Manku/Jain/Sarma, WWW'07 formulation): each table keys on
+    ``n_blocks − max_hamming`` blocks ≈ 64·(1 − max_hamming/n_blocks) bits,
+    so expected random collisions per table ≈ n²/2^keybits.
+
+      * n_blocks=4, k=3 (reference-scale default): 4 tables × 16-bit keys —
+        fine to ~10^7 docs, quadratic inside buckets past that.
+      * n_blocks=6, k=3 (100 TB path): C(6,3)=20 tables × ~32-bit keys —
+        expected candidates ~n²/2^32 per table (~2·10^5 at n=10^9).
+      * n_blocks=8, k=3: 56 tables × 40-bit keys for the 10^10+ regime.
+
+    More tables cost a wider explode (rows × n_tables) but the join stays
+    an equi-join on (table, key) — shuffle volume scales linearly with
+    table count while in-bucket comparisons shrink exponentially with key
+    width.
     """
-    width = 64 // n_bands
-    hashed = df.select(
-        F.col(id_col), simhash_udf(text_col).alias("_sh")
-    )
+    widths, starts, tables = _simhash_block_tables(n_blocks, max_hamming)
+
+    def block_val(i: int):
+        return F.shiftrightunsigned(F.col("_sh"), starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    def table_key(combo: tuple[int, ...]):
+        # pack the chosen block values into one long (Σ widths ≤ 64 bits)
+        key = None
+        for i in combo:
+            v = block_val(i)
+            key = v if key is None else F.shiftleft(key, widths[i]).bitwiseOR(v)
+        return key
+
     bands = hashed.select(
         id_col,
         "_sh",
@@ -87,16 +134,15 @@ def simhash_near_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_sh"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
+                        F.lit(t).alias("band"), table_key(combo).alias("key")
                     )
-                    for b in range(n_bands)
+                    for t, combo in enumerate(tables)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "key"
     )
@@ -106,6 +152,32 @@ def simhash_near_dup_pairs(
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash NEAR-duplicate pairs (hamming ≤ max_hamming) without O(n²).
+
+    Combination banding (see :func:`simhash_candidate_pairs` for the
+    table/key construction and the per-corpus-size parameter ladder):
+    every pair within the hamming budget collides in at least one table —
+    exact recall — and candidates are verified with ``bit_count(xor)``
+    (O-71).  All JVM-side except the simhash UDF itself.  ``n_blocks=4``
+    keeps the original 4×16-bit behavior (up to ~10^7 docs); raise to 6 or
+    8 for web-scale corpora.  (The reference's >0.99 threshold is hamming
+    0 — Q12 exact dedup — this operator generalizes it to true near-dup at
+    scale; reference analogue WebCrawler_basis.py:279-293.)
+    """
+    hashed = df.select(F.col(id_col), simhash_udf(text_col).alias("_sh"))
+    return (
+        simhash_candidate_pairs(hashed, id_col, max_hamming, n_blocks)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),

@@ -115,17 +115,55 @@ def cosine_near_dup_pairs(
     threshold: float,
     dim: int,
     n_planes: int = 6,
+    n_tables: int = 1,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join."""
-    planes = make_hyperplanes(dim, n_planes)
-    v = vectors.withColumn("bucket", _sign_bits(F.col(vec_col), planes))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    Multi-table sign-LSH: each of ``n_tables`` tables hashes with its own
+    ``n_planes`` hyperplanes; candidates are pairs colliding in ANY table.
+    A pair at angle θ collides per table with p = (1 − θ/π)^n_planes, so
+    recall = 1 − (1 − p)^n_tables — planes-per-table controls bucket size
+    (each plane halves expected occupancy: candidates ~ n²/2^n_planes per
+    table, the quadratic-blowup knob), tables control recall.  The 100 TB
+    setting is MORE planes (16-24, so buckets stay person-sized) and
+    enough tables to hold recall (8-16); the default 6×1 is sized for the
+    fixture corpus.  Shuffle volume grows linearly with n_tables (explode),
+    in-bucket comparisons shrink exponentially with n_planes.
+    """
+    v = vectors
+    for t in range(n_tables):
+        planes = make_hyperplanes(dim, n_planes, seed=seed + 101 * t)
+        v = v.withColumn(f"_b{t}", _sign_bits(F.col(vec_col), planes))
+    banded = v.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()  # dedup multi-table collisions BEFORE the dot products
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -78,6 +78,100 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.3  # approximate, bucketed — sanity floor
 
 
+def test_simhash_near_dup_block_schemes_agree(spark, docs):
+    """The n_blocks=6 (Manku-style, C(6,3)=20 tables × 32-bit keys) scheme
+    must return EXACTLY the pairs of the n_blocks=4 original — both are
+    exact-recall constructions; only candidate volume differs."""
+    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    base = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_blocks=4
+    )
+    wide = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_blocks=6
+    )
+    a = {(r.id_a, r.id_b, r.hamming) for r in base.collect()}
+    b = {(r.id_a, r.id_b, r.hamming) for r in wide.collect()}
+    assert a == b
+
+
+def test_simhash_candidate_volume_shrinks_with_wider_keys(spark, docs):
+    """The 100 TB claim: wider table keys (n_blocks 4→6: 16→~32 bits) cut
+    FALSE candidates while keeping every true pair.  On the fixture the
+    distinct candidate set must not grow, and both candidate sets must
+    cover the verified pairs."""
+    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    hashed = docs.select(
+        F.col("doc_id"), dedup.simhash_udf("text").alias("_sh")
+    )
+    cand4 = (
+        dedup.simhash_candidate_pairs(hashed, "doc_id", 3, n_blocks=4)
+        .select("id_a", "id_b").distinct()
+    )
+    cand6 = (
+        dedup.simhash_candidate_pairs(hashed, "doc_id", 3, n_blocks=6)
+        .select("id_a", "id_b").distinct()
+    )
+    s4 = {(r.id_a, r.id_b) for r in cand4.collect()}
+    s6 = {(r.id_a, r.id_b) for r in cand6.collect()}
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert true_pairs <= s4 and true_pairs <= s6
+    assert len(s6) <= len(s4)
+
+
+def test_simhash_blocks_reject_bad_params():
+    with pytest.raises(ValueError):
+        dedup._simhash_block_tables(3, 3)
+
+
+def test_cosine_near_dup_multi_table_recall(spark):
+    """Multi-table sign-LSH: recall grows with table count and reaches
+    ~1 − (1−p)^t on planted near-dup pairs, with p = (1−θ/π)^n_planes."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    truth = {
+        (ra[0], rb[0])
+        for ia, ra in enumerate(rows)
+        for rb in rows[ia + 1 :]
+        if ra[0] < rb[0] and _cos(ra[1], rb[1]) >= 0.99
+    }
+    assert truth  # planted pairs survive at the 0.99 threshold
+
+    def recall(n_tables: int) -> float:
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_near_dup_pairs(
+                vecs, 0.99, dim=dim, n_planes=8, n_tables=n_tables
+            ).collect()
+        }
+        assert got <= truth  # exact cos >= threshold verification
+        return len(got & truth) / len(truth)
+
+    r1, r6 = recall(1), recall(6)
+    assert r6 >= r1
+    assert r6 >= 0.95
+
+
 def test_cosine_near_dup_pairs(spark):
     vecs = spark.createDataFrame(
         [

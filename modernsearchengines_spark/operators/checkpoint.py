@@ -417,3 +417,107 @@ def build_index_pipelined(
         out_dir,
     )
     return indexer.read_index(spark, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Self-dispatching build: classic vs pipelined by measured phase ratio
+# ---------------------------------------------------------------------------
+
+# Pipelined-build cost constants (local-mode measurements, 400k docs):
+# the segment pre-pass re-materializes the id'd corpus (~15% of a tokenize
+# phase: one columnar read + partitioned write, no shuffle), and every
+# segment adds two scheduler round-trips (tokenize job + layout job).
+BUILD_PREPASS_FRAC = 0.15
+BUILD_SEG_OVERHEAD_SEC = 1.5
+
+
+def auto_segments(min_phase_sec: float) -> int:
+    """Segment count minimizing (un-overlapped slot) + (per-segment
+    overhead): the first layout has nothing to hide behind and the last
+    tokenize nothing to hide, wasting ~min_phase/s, while each segment
+    costs ~BUILD_SEG_OVERHEAD_SEC of job latency — minimized at
+    s* = sqrt(min_phase / overhead), clamped to [4, 16] (4 was the fixed
+    round-3 default; >16 segments fragment the parquet layout)."""
+    s = round((max(min_phase_sec, 0.0) / BUILD_SEG_OVERHEAD_SEC) ** 0.5)
+    return max(4, min(16, int(s)))
+
+
+def predict_pipelined_win(
+    tokenize_sec: float, layout_sec: float, n_segments: int | None = None
+) -> tuple[bool, int, float, float]:
+    """(win, n_segments, predicted_saving, predicted_cost) for overlapping
+    the two phases at their measured durations.
+
+    Overlap hides min(tokenize, layout) behind the other phase, except the
+    un-overlapped first/last slots (~1/s of it); the price is the segment
+    pre-pass plus per-segment job overhead.  This is why the round-3 bench
+    saw pipelined WIN at 8 cores (both phases long, saving ≫ overhead) and
+    LOSE at 32 (tokenize shrinks 4×; saving ~ overhead) — the choice is
+    parallelism-dependent and must be made from measurements at the
+    CURRENT parallelism, which is exactly what build_index_auto does.
+    """
+    s = n_segments or auto_segments(min(tokenize_sec, layout_sec))
+    saving = min(tokenize_sec, layout_sec) * (1 - 1 / s)
+    cost = BUILD_PREPASS_FRAC * tokenize_sec + s * BUILD_SEG_OVERHEAD_SEC
+    return saving > cost, s, saving, cost
+
+
+def build_index_auto(
+    spark: SparkSession,
+    clean: DataFrame,
+    out_dir: str,
+    metrics_path: str | None = None,
+    n_docs_hint: int | None = None,
+    force: str | None = None,
+) -> dict[str, DataFrame]:
+    """One build entry point that picks classic-serial vs pipelined from
+    MEASURED phase timings at the current parallelism (VERDICT r3 item 2).
+
+    Protocol: phase timings are recorded per core-count in a small JSON
+    sidecar (``metrics_path``, default ``<out_dir>_metrics.json`` — a
+    sibling so the build's own directory resets don't erase it; fsio, so
+    any scheme works).  With no recording for this core count the CLASSIC
+    build runs (it exposes the tokenize/layout phase boundary and was the
+    high-parallelism winner in round 3) and records its phases; subsequent
+    builds dispatch via :func:`predict_pipelined_win`, scaling recorded
+    times by ``n_docs_hint``/recorded docs when the corpus size differs.
+    ``force``: ``"classic"``/``"pipelined"`` pins the strategy (bench A/B).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    metrics_path = metrics_path or out_dir.rstrip("/") + "_metrics.json"
+    metrics: dict = {}
+    if fsio.exists(spark, metrics_path):
+        metrics = json.loads(fsio.read_text(spark, metrics_path))
+
+    decision, n_seg = "classic", None
+    rec = metrics.get(str(cores))
+    if rec:
+        scale = 1.0
+        if n_docs_hint and rec.get("n_docs"):
+            scale = n_docs_hint / rec["n_docs"]
+        win, n_seg, _, _ = predict_pipelined_win(
+            rec["tokenize_sec"] * scale, rec["layout_sec"] * scale
+        )
+        decision = "pipelined" if win else "classic"
+    if force in ("classic", "pipelined"):
+        decision = force
+        n_seg = n_seg or 4
+
+    if decision == "pipelined":
+        return build_index_pipelined(
+            spark, clean, out_dir, n_segments=n_seg or 4
+        )
+
+    t0 = time.time()
+    idx = indexer.build_index(spark, clean)
+    t1 = time.time()
+    indexer.write_index(idx, out_dir)
+    t2 = time.time()
+    n_docs = int(idx["corpus_stats"].select("n_docs").collect()[0][0])
+    metrics[str(cores)] = {
+        "tokenize_sec": round(t1 - t0, 3),
+        "layout_sec": round(t2 - t1, 3),
+        "n_docs": n_docs,
+    }
+    fsio.write_text_atomic(spark, metrics_path, json.dumps(metrics))
+    return indexer.read_index(spark, out_dir)

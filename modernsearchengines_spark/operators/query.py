@@ -325,20 +325,47 @@ def search(
     top_k: int = 10,
     need_spellcheck: bool = True,
     expansion: dict[str, list[str]] | None = None,
+    parity: bool = True,
+    payload: bool = False,
 ) -> DataFrame:
     """Interactive search path (reference main_retrival, retrieval.py:406-422
     / SURVEY §3.3): spellcheck → compile → rank top-10 → snippet per hit.
 
     ``docs`` must carry (doc_id, text) for snippet hydration.  Returns
     (rank, doc_id, url, score, snippet).
+
+    ``parity=True`` (default) reproduces the reference scoring quirks
+    exactly (weight ladder, +100 boost, global min-max couplings Q8/Q11 —
+    necessarily exhaustive, the normalizations read every matched score).
+    ``parity=False`` routes through the cost-based dispatcher
+    (wand.bm25_topk_auto): plain BM25 top-k — optionally blended with the
+    min-span payload when ``payload=True`` — served by the cascade-pruned
+    plan whenever its measured cost model predicts a win.  This is the
+    non-reference deployment surface; scores are pure BM25(+α·prox), not
+    the reference ladder.
     """
     from .expansion import spellcheck
     from .snippets import add_snippets
 
     corrected = spellcheck(text) if need_spellcheck else text
-    topk = run_query_batch(
-        spark, index, [(1, corrected)], top_k=top_k, expansion=expansion
-    )
+    if parity:
+        topk = run_query_batch(
+            spark, index, [(1, corrected)], top_k=top_k, expansion=expansion
+        )
+    else:
+        from . import wand
+
+        compiled = [compile_query(1, corrected, expansion)]
+        terms = query_terms_df(spark, compiled, index=index)
+        scored = wand.bm25_topk_auto(
+            index["postings"], index["blocks"], terms,
+            k=top_k, payload=payload,
+        )
+        topk = (
+            index["doc_stats"].select("doc_id", "url")
+            .join(F.broadcast(scored), "doc_id")
+            .select("qnum", "rank", "doc_id", "url", "score")
+        )
     # Reference snippet query: the processed query sans the injected
     # "tuebingen" (retrieval.py:416-418).
     from .expansion import preprocess_query

@@ -30,9 +30,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Arrow batches for all pandas UDF crossings.
+        # Arrow batches for all pandas UDF crossings.  Records-per-batch
+        # alone is unsafe for web text: 4096 rows × near-800k-char docs is
+        # a ~3 GB Arrow batch held in Python per core — the BYTE cap slices
+        # batches by size first (Spark 4.x), so worst-case UDF residency is
+        # ~64 MB·cores regardless of document length distribution
+        # (tests/test_arrow_batches.py proves long docs arrive in small
+        # batches).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         # Keep scan partitions executor-memory-friendly at scale.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -38,6 +38,46 @@ def test_search_spellcheck_fixture_applied(spark, search_setup):
     assert [r.doc_id for r in a] == [r.doc_id for r in b]
 
 
+def test_search_nonparity_routes_through_auto_dispatch(
+    spark, search_setup, monkeypatch
+):
+    """VERDICT r3 item 7: ``parity=False`` must reach wand.bm25_topk_auto
+    and return the rank-identical rows of calling the dispatcher directly."""
+    from modernsearchengines_spark.operators import wand
+    from modernsearchengines_spark.operators.expansion import compile_query
+
+    idx, docs = search_setup
+    calls = []
+    real_auto = wand.bm25_topk_auto
+
+    def spy(*args, **kwargs):
+        calls.append((args, kwargs))
+        return real_auto(*args, **kwargs)
+
+    monkeypatch.setattr(wand, "bm25_topk_auto", spy)
+    got = query.search(
+        spark, idx, docs, "tübingen attractions",
+        need_spellcheck=False, parity=False,
+    ).collect()
+    assert len(calls) == 1  # dispatcher reached exactly once
+
+    # rank-identical to the dispatcher called directly
+    compiled = [compile_query(1, "tübingen attractions")]
+    terms = query.query_terms_df(spark, compiled, index=idx)
+    direct = (
+        real_auto(idx["postings"], idx["blocks"], terms, k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.rank, r.doc_id) for r in got] == [
+        (r.rank, r.doc_id) for r in direct
+    ]
+    for a, b in zip(got, direct):
+        assert a.score == pytest.approx(b.score, rel=1e-9)
+    # full search() surface intact: snippets + urls hydrate
+    assert all(r.snippet and r.url.startswith("http") for r in got)
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Structured Streaming surface: event-time tumbling window + watermark
     over a file source, availableNow trigger (late-data-capable path)."""

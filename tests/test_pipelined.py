@@ -96,3 +96,59 @@ def test_pipelined_layout_superset_and_prune_boundary(
         pipelined_index["terms"].select("term"), "term", "left_semi"
     ).exceptAll(pruned).count()
     assert extra == 0
+
+
+def test_predict_pipelined_win_parallelism_dependent():
+    """The dispatch model reproduces the round-3 measurement pattern:
+    long phases (low parallelism) -> overlap pays; short phases (high
+    parallelism) -> fixed overheads dominate and classic wins."""
+    from modernsearchengines_spark.operators.checkpoint import (
+        auto_segments,
+        predict_pipelined_win,
+    )
+
+    win_low, s_low, saving, cost = predict_pipelined_win(100.0, 50.0)
+    assert win_low and saving > cost
+    win_high, _, _, _ = predict_pipelined_win(12.0, 6.0)
+    assert not win_high
+    assert 4 <= auto_segments(0.0) <= 16
+    assert 4 <= auto_segments(1e6) <= 16
+    assert auto_segments(50.0) >= auto_segments(5.0)
+
+
+def test_build_index_auto_records_and_dispatches(spark, docs_df, tmp_path):
+    """First build runs classic + records phase metrics; a rigged metrics
+    file flips the dispatch to pipelined; force pins either strategy."""
+    import json
+
+    from modernsearchengines_spark.operators import checkpoint, indexer
+
+    clean = indexer.clean_docs(docs_df)
+    out = str(tmp_path / "auto_idx")
+    mpath = str(tmp_path / "auto_metrics.json")
+
+    idx = checkpoint.build_index_auto(spark, clean, out, metrics_path=mpath)
+    assert idx["postings"].count() > 0
+    metrics = json.loads(open(mpath).read())
+    cores = str(spark.sparkContext.defaultParallelism)
+    assert cores in metrics
+    rec = metrics[cores]
+    assert rec["tokenize_sec"] > 0 and rec["layout_sec"] >= 0
+    assert rec["n_docs"] == clean.count()
+
+    # rig long phases -> the second build takes the pipelined branch
+    metrics[cores] = {"tokenize_sec": 120.0, "layout_sec": 80.0, "n_docs": rec["n_docs"]}
+    open(mpath, "w").write(json.dumps(metrics))
+    idx2 = checkpoint.build_index_auto(spark, clean, out, metrics_path=mpath)
+    # pipelined layout stores UNPRUNED postings (df prune at query time),
+    # classic stores pruned -> row count reveals which branch ran
+    assert idx2["postings"].count() >= idx["postings"].count()
+    assert (
+        checkpoint.read_manifest(spark, out) == {}
+    )  # pipelined path, not the checkpointed-manifest path
+
+    # force overrides the metrics-based decision
+    idx3 = checkpoint.build_index_auto(
+        spark, clean, out, metrics_path=mpath, force="classic"
+    )
+    assert idx3["postings"].count() == idx["postings"].count()

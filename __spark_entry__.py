@@ -473,6 +473,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_simhash_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-scale banding variant (Manku-style combination scheme,
+    n_blocks=6 → C(6,3)=20 tables × ~32-bit packed keys): exact-recall by
+    pigeonhole, so its VERIFIED pairs equal the 4×16 scheme's and the same
+    DuckDB md5-simhash replay hash-checks it (dedup.simhash_candidate_pairs
+    docstring has the candidate-volume math)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_blocks=6
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat each document's text bytes as an opaque
     binary payload → metadata sniff + mapInPandas feature extraction
@@ -940,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_values": q_simhash_values,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_near_dup_wide": q_simhash_near_dup_wide,
         "media_features": q_media_features,
         "media_url_filter": q_media_url_filter,
         "domain_histogram": q_domain_histogram,
@@ -1322,6 +1338,23 @@ SELECT doc_id, n_chars FROM (
 ) WHERE rn = 1
 """,
         "simhash_near_dup": f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+    SELECT doc_id, uns, b.band, (uns >> (b.band * 16)) & 65535 AS key
+    FROM simhash, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.uns, b.uns)) AS INT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.uns, b.uns)) <= 3
+)
+SELECT id_a, id_b, hamming FROM pairs
+""",
+        # the wide (n_blocks=6) banding returns the SAME verified pairs by
+        # construction (exact recall) — replayed by the identical SQL
+        "simhash_near_dup_wide": f"""
 WITH {_SIMHASH_CTE},
 bands AS (
     SELECT doc_id, uns, b.band, (uns >> (b.band * 16)) & 65535 AS key

@@ -15,7 +15,11 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_DOCS (default 400000 — sized so parallel work dominates
 the local-mode per-stage latency floor; below ~100k docs the job is
 latency-bound and no engine quality shows 4x scaling),
-SPARK_GRAFT_BENCH_SCALING=0 to skip the two-level scaling runs.
+SPARK_GRAFT_BENCH_SCALING=0 to skip the two-level scaling runs,
+SPARK_GRAFT_BENCH_REPEAT (default 3 — interleaved A/B rounds; each round
+runs calibration + classic/pipelined/auto builds at both core counts
+inside one hypervisor epoch, and headlines are medians over
+calibration-gated rounds — see scaling_rounds).
 """
 
 from __future__ import annotations
@@ -153,25 +157,34 @@ def reference_singlenode_baseline(n_docs: int = 2000) -> dict:
 
 
 def time_index_build(
-    cores: int, corpus_path: str, out_dir: str, pipelined: bool = False
+    cores: int,
+    corpus_path: str,
+    out_dir: str,
+    mode: str = "classic",
+    metrics_path: str | None = None,
 ) -> dict:
     """Full index build (clean → ids → tokenize → aggregate → layout →
     write), timed from first action to committed parquet; session setup
     excluded.
 
-    ``pipelined=True`` times checkpoint.build_index_pipelined — the
-    production build path, where each segment's bucket layout overlaps the
-    next segment's tokenize (FAIR scheduler pools).  The overlapped run
-    has no serial tokenize/layout phase boundary, so phase secs are
-    reported as None; phase attribution for the ceiling calculation comes
-    from the classic serial pair the caller also runs.
+    ``mode``:
+      * ``classic``   — indexer.build_index + write_index (serial phases,
+        exposes the tokenize/layout boundary the ceiling attribution
+        needs);
+      * ``pipelined`` — checkpoint.build_index_pipelined (each segment's
+        bucket layout overlaps the next segment's tokenize in a second
+        FAIR pool; no phase boundary — phase secs reported as None);
+      * ``auto``      — checkpoint.build_index_auto dispatching on the
+        phase metrics recorded at ``metrics_path`` (the bench seeds it
+        from the same round's classic builds, so the dispatch decision is
+        made from SAME-EPOCH measurements at the same core count).
     """
-    from modernsearchengines_spark.operators import indexer
+    from modernsearchengines_spark.operators import checkpoint, indexer
     from modernsearchengines_spark.session import get_spark
 
-    extra = {"spark.scheduler.mode": "FAIR"} if pipelined else {}
+    extra = {} if mode == "classic" else {"spark.scheduler.mode": "FAIR"}
     spark = get_spark(
-        f"bench-index-{'p' if pipelined else 's'}{cores}",
+        f"bench-index-{mode[0]}{cores}",
         cores=cores,
         # 4x cores + no AQE coalescing for the BUILD session: the tokenize
         # and posting stages are Python-CPU-bound, and AQE's byte-based
@@ -195,14 +208,17 @@ def time_index_build(
     from pyspark.sql import functions as F
 
     docs.agg(F.sum(F.length("text")), F.sum(F.length("html"))).collect()
+    report: dict = {}
     t0 = time.time()
     clean = indexer.clean_docs(docs)
-    if pipelined:
-        from modernsearchengines_spark.operators import checkpoint
-
+    tok_sec = lay_sec = None
+    if mode == "pipelined":
         checkpoint.build_index_pipelined(spark, clean, out_dir)
-        t1 = t2 = time.time()
-        tok_sec = lay_sec = None
+    elif mode == "auto":
+        checkpoint.build_index_auto(
+            spark, clean, out_dir,
+            metrics_path=metrics_path, n_docs_hint=n_input, report=report,
+        )
     else:
         # Phase split for ceiling attribution: build_index runs the
         # Python-CPU-bound work eagerly (clean + simhash + tokenize/encode
@@ -212,14 +228,15 @@ def time_index_build(
         idx = indexer.build_index(spark, clean)
         t1 = time.time()
         indexer.write_index(idx, out_dir)
-        t2 = time.time()
-        tok_sec, lay_sec = round(t1 - t0, 3), round(t2 - t1, 3)
-    wall = t2 - t0
+        tok_sec, lay_sec = round(t1 - t0, 3), round(time.time() - t1, 3)
+    wall = time.time() - t0
     n_postings = spark.read.parquet(f"{out_dir}/postings").count()
     spark.stop()
     return {
         "cores": cores,
-        "pipelined": pipelined,
+        "mode": mode,
+        "auto_decision": report.get("decision"),
+        "auto_segments": report.get("n_segments"),
         "n_docs": n_input,
         "wall_sec": round(wall, 3),
         "tokenize_phase_sec": tok_sec,
@@ -295,8 +312,33 @@ def measure_strategy_bytes(spark, index_dir: str) -> dict:
     }
 
 
-def time_queries(spark, index, sf_dir: str) -> dict:
-    """Top-k latency: parity mode (reference semantics) + WAND mode."""
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _timed_runs(fn, n: int) -> list[float]:
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    return runs
+
+
+def time_queries(spark, index, sf_dir: str, repeat: int = 3) -> dict:
+    """Top-k latency: parity mode (reference semantics) + WAND mode.
+
+    Measurement protocol (VERDICT r3 item 1): every warm metric is the
+    MEDIAN of ``repeat`` runs with the full run list disclosed (spread).
+    The parity pair is gated on internal consistency — if the warm median
+    exceeds its own cold first-run (physically impossible except under
+    mid-measurement hypervisor drift, the round-3 artifact), the warm
+    block re-runs (≤3 attempts) and the best-median attempt is reported
+    with the attempt count; the A/B pairs (exhaustive vs pruned per
+    payload tier) run back-to-back inside one epoch.
+    """
     from modernsearchengines_spark.operators import query, wand
     from modernsearchengines_spark.operators.expansion import compile_query
     from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
@@ -306,71 +348,84 @@ def time_queries(spark, index, sf_dir: str) -> dict:
     index["postings"].count()
     index["doc_stats"].count()
 
-    out = {}
-    t0 = time.time()
-    query.run_query_batch(spark, index, REFERENCE_QUERIES).collect()
-    out["parity_batch_cold_sec"] = round(time.time() - t0, 3)
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
+    out: dict = {}
+
+    def parity():
         query.run_query_batch(spark, index, REFERENCE_QUERIES).collect()
-        runs.append(time.time() - t0)
-    out["parity_batch_warm_sec"] = round(min(runs), 3)
+
+    t0 = time.time()
+    parity()
+    cold = round(time.time() - t0, 3)
+    attempts = []
+    for _ in range(3):
+        attempts.append(_timed_runs(parity, repeat))
+        if _median(attempts[-1]) <= cold:
+            break
+    best = min(attempts, key=_median)
+    out["parity_batch_cold_sec"] = cold
+    out["parity_batch_warm_sec"] = round(_median(best), 3)
+    out["parity_batch_warm_runs"] = sum(attempts, [])
+    out["parity_warm_attempts"] = len(attempts)
+    out["parity_warm_le_cold"] = _median(best) <= cold
 
     compiled = [compile_query(q, t) for q, t in REFERENCE_QUERIES]
     terms = query.query_terms_df(spark, compiled, index=index)
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        wand.bm25_topk_wand(index["postings"], index["blocks"], terms, 100).collect()
-        runs.append(time.time() - t0)
-    out["wand_topk_warm_sec"] = round(min(runs), 3)
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        wand.bm25_topk_exhaustive(index["postings"], terms, 100).collect()
-        runs.append(time.time() - t0)
-    out["exhaustive_topk_warm_sec"] = round(min(runs), 3)
 
-    # payload-refined scoring (bm25 + α·min-span over decoded blobs) —
-    # the expensive-per-doc regime the pruned path targets
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        wand.bm25_prox_topk_exhaustive(index["postings"], terms, 100).collect()
-        runs.append(time.time() - t0)
-    out["payload_exhaustive_warm_sec"] = round(min(runs), 3)
-    runs = []
-    for _ in range(3):
-        t0 = time.time()
-        wand.bm25_prox_topk_wand(
-            index["postings"], index["blocks"], terms, 100
-        ).collect()
-        runs.append(time.time() - t0)
-    out["payload_wand_warm_sec"] = round(min(runs), 3)
-
-    # heavy reranking payload (PLM, O(σ·n²) kernel per doc) — the
-    # measured-crossover evidence that the pruned path WINS when per-doc
-    # scoring dominates (VERDICT r02 weak item: "never measured winning")
+    # A/B pairs, back-to-back per tier: (exhaustive, pruned) × (light,
+    # payload, plm) — adjacency keeps each comparison inside one epoch.
+    pairs = [
+        (
+            "exhaustive_topk",
+            lambda: wand.bm25_topk_exhaustive(
+                index["postings"], terms, 100
+            ).collect(),
+            "wand_topk",
+            lambda: wand.bm25_topk_wand(
+                index["postings"], index["blocks"], terms, 100
+            ).collect(),
+            repeat,
+        ),
+        (
+            "payload_exhaustive",
+            lambda: wand.bm25_prox_topk_exhaustive(
+                index["postings"], terms, 100
+            ).collect(),
+            "payload_wand",
+            lambda: wand.bm25_prox_topk_wand(
+                index["postings"], index["blocks"], terms, 100
+            ).collect(),
+            repeat,
+        ),
+    ]
     from modernsearchengines_spark.operators.proximity import plm_score_vb_udf
 
-    runs = []
-    for _ in range(2):
-        t0 = time.time()
-        wand.bm25_prox_topk_exhaustive(
-            index["postings"], terms, 100, scorer=plm_score_vb_udf
-        ).collect()
-        runs.append(time.time() - t0)
-    out["plm_exhaustive_warm_sec"] = round(min(runs), 3)
-    runs = []
-    for _ in range(2):
-        t0 = time.time()
-        wand.bm25_prox_topk_wand(
-            index["postings"], index["blocks"], terms, 100,
-            scorer=plm_score_vb_udf,
-        ).collect()
-        runs.append(time.time() - t0)
-    out["plm_wand_warm_sec"] = round(min(runs), 3)
+    # heavy reranking payload (PLM, O(σ·n²) kernel per doc) — the
+    # measured-crossover regime where cascade pruning pays 4.5-7×; 2 runs
+    # (the exhaustive side costs ~a minute each)
+    pairs.append(
+        (
+            "plm_exhaustive",
+            lambda: wand.bm25_prox_topk_exhaustive(
+                index["postings"], terms, 100, scorer=plm_score_vb_udf
+            ).collect(),
+            "plm_wand",
+            lambda: wand.bm25_prox_topk_wand(
+                index["postings"], index["blocks"], terms, 100,
+                scorer=plm_score_vb_udf,
+            ).collect(),
+            2,
+        )
+    )
+    for name_a, fn_a, name_b, fn_b, n in pairs:
+        fn_a()  # untimed warmup of the pair's shared scan/cache paths
+        runs_a, runs_b = [], []
+        for _ in range(n):  # interleaved A/B inside one epoch
+            runs_a += _timed_runs(fn_a, 1)
+            runs_b += _timed_runs(fn_b, 1)
+        out[f"{name_a}_warm_sec"] = round(_median(runs_a), 3)
+        out[f"{name_a}_warm_runs"] = runs_a
+        out[f"{name_b}_warm_sec"] = round(_median(runs_b), 3)
+        out[f"{name_b}_warm_runs"] = runs_b
 
     out["pruning"] = wand.pruning_stats(
         index["postings"], index["blocks"], terms, 100
@@ -425,6 +480,190 @@ def time_query_batch(cores: int, idx_dir: str, n_queries: int = 32) -> dict:
     }
 
 
+def calibrate(low: int, high: int) -> dict:
+    """CPU + DRAM parallel-scaling ceilings for this epoch (one shot)."""
+    return {**hw_parallel_ceiling(low, high), **mem_parallel_ceiling(low, high)}
+
+
+def _seed_auto_metrics(path: str, build_row: dict) -> None:
+    """Record a classic build's phase split so build_index_auto dispatches
+    on SAME-EPOCH measurements at the same core count."""
+    m = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            m = json.load(fh)
+    m[str(build_row["cores"])] = {
+        "tokenize_sec": build_row["tokenize_phase_sec"],
+        "layout_sec": build_row["layout_phase_sec"],
+        "n_docs": build_row["n_docs"],
+    }
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+
+
+BUILD_CONFIGS = (
+    "classic_low", "classic_high",
+    "pipelined_low", "pipelined_high",
+    "auto_low", "auto_high",
+)
+
+
+def scaling_rounds(
+    low: int, high: int, corpus_path: str, repeat: int = 3
+) -> dict:
+    """Interleaved A/B build protocol (VERDICT r3 item 1).
+
+    Each ROUND runs, back-to-back inside one hypervisor epoch: a CPU+DRAM
+    calibration, then classic/pipelined/auto builds at BOTH core counts
+    (classic first — its serial phase split seeds the auto dispatcher's
+    same-epoch metrics).  Headlines are MEDIANS over rounds whose
+    calibration sits within 15% of the across-round median on both axes
+    (the epoch gate: a round measured on a visibly different machine state
+    is excluded and disclosed, not averaged in).  Every per-round number
+    is retained in the artifact.
+
+    Speedups are WITHIN-round ratios (same epoch), then median'd — the
+    round-3 failure mode (low and high sampled from different epochs) is
+    structurally excluded.  The composite Amdahl ceiling is computed
+    per-round from that round's classic phase split and ITS OWN
+    calibration; per ADVICE r3 the raw hw_speedup enters unfloored (only
+    mem_speedup is floored at 1.0 — a sub-1 DRAM "scaling" can only be
+    neighbor pollution of the copy test) and raw values are recorded.
+    """
+    mpath = os.path.join(CORPUS_CACHE, "auto_metrics.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    rounds: list[dict] = []
+    for _ in range(repeat):
+        row: dict = {"calibration": calibrate(low, high)}
+        row["classic_low"] = time_index_build(
+            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "classic"
+        )
+        row["classic_high"] = time_index_build(
+            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "classic"
+        )
+        _seed_auto_metrics(mpath, row["classic_low"])
+        _seed_auto_metrics(mpath, row["classic_high"])
+        row["pipelined_low"] = time_index_build(
+            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "pipelined"
+        )
+        row["pipelined_high"] = time_index_build(
+            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "pipelined"
+        )
+        row["auto_low"] = time_index_build(
+            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "auto", mpath
+        )
+        row["auto_high"] = time_index_build(
+            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "auto", mpath
+        )
+        rounds.append(row)
+    cal_final = calibrate(low, high)
+
+    # --- epoch gate ---------------------------------------------------------
+    def _cal_med(key: str) -> float:
+        return _median([r["calibration"][key] for r in rounds])
+
+    med_spin, med_mem = _cal_med("spin_wall_low"), _cal_med("mem_thr_low")
+    accepted = [
+        r for r in rounds
+        if abs(r["calibration"]["spin_wall_low"] - med_spin) <= 0.15 * med_spin
+        and abs(r["calibration"]["mem_thr_low"] - med_mem) <= 0.15 * med_mem
+    ]
+    if not accepted:  # degenerate: keep the calibration-median round
+        accepted = [
+            min(
+                rounds,
+                key=lambda r: abs(
+                    r["calibration"]["mem_thr_low"] - med_mem
+                ),
+            )
+        ]
+
+    # --- per-config medians + spreads ---------------------------------------
+    summary = {}
+    for cfg in BUILD_CONFIGS:
+        dps = [r[cfg]["docs_per_sec"] for r in accepted]
+        walls = [r[cfg]["wall_sec"] for r in accepted]
+        summary[cfg] = {
+            "docs_per_sec_median": round(_median(dps), 2),
+            "docs_per_sec_runs": dps,
+            "wall_sec_median": round(_median(walls), 3),
+            "wall_sec_runs": walls,
+        }
+
+    # --- within-round speedups per strategy ---------------------------------
+    speedups = {}
+    for strat in ("classic", "pipelined", "auto"):
+        per_round = [
+            r[f"{strat}_high"]["docs_per_sec"]
+            / r[f"{strat}_low"]["docs_per_sec"]
+            for r in accepted
+        ]
+        speedups[strat] = {
+            "median": round(_median(per_round), 3),
+            "runs": [round(x, 3) for x in per_round],
+        }
+
+    # --- per-round composite Amdahl ceiling (classic phase mix) -------------
+    composites, eff_comp = [], []
+    for r in accepted:
+        tok = r["classic_low"]["tokenize_phase_sec"]
+        lay = r["classic_low"]["layout_phase_sec"]
+        hw_s = r["calibration"]["hw_speedup"]  # raw, unfloored (ADVICE r3)
+        mem_s = max(r["calibration"]["mem_speedup"], 1.0)
+        comp = (tok + lay) / (tok / hw_s + lay / mem_s)
+        composites.append(round(comp, 3))
+        auto_sp = (
+            r["auto_high"]["docs_per_sec"] / r["auto_low"]["docs_per_sec"]
+        )
+        eff_comp.append(round(auto_sp / comp, 3))
+
+    ratio = high / low
+    auto_sp_med = speedups["auto"]["median"]
+    return {
+        "low_cores": low,
+        "high_cores": high,
+        "repeat": repeat,
+        "rounds": rounds,
+        "accepted_rounds": len(accepted),
+        "rejected_rounds": len(rounds) - len(accepted),
+        "calibration_final": cal_final,
+        "calibration_medians": {
+            "spin_wall_low": med_spin, "mem_thr_low": med_mem,
+        },
+        "summary": summary,
+        "speedups": speedups,
+        "engine_speedup": auto_sp_med,
+        "scaling_efficiency_raw": round(auto_sp_med / ratio, 3),
+        "composite_hw_speedups": composites,
+        "composite_hw_speedup": round(_median(composites), 3),
+        "eff_composite_runs": eff_comp,
+        "scaling_efficiency_vs_composite_ceiling": round(
+            _median(eff_comp), 3
+        ),
+        "raw_calibrations": {
+            "hw_speedup": [
+                r["calibration"]["hw_speedup"] for r in rounds
+            ],
+            "mem_speedup": [
+                r["calibration"]["mem_speedup"] for r in rounds
+            ],
+        },
+        "winner_low": min(
+            ("classic", "pipelined"),
+            key=lambda s: summary[f"{s}_low"]["wall_sec_median"],
+        ),
+        "winner_high": min(
+            ("classic", "pipelined"),
+            key=lambda s: summary[f"{s}_high"]["wall_sec_median"],
+        ),
+        "auto_decisions": {
+            "low": [r["auto_low"]["auto_decision"] for r in rounds],
+            "high": [r["auto_high"]["auto_decision"] for r in rounds],
+        },
+    }
+
+
 def query_scaling_sandwich(low: int, high: int, idx_dir: str) -> dict:
     """L-H-L sandwich for the query batch (same drift-cancelling design as
     the index-build sandwich)."""
@@ -447,145 +686,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     suite_t0 = time.time()
     corpus_path = ensure_corpus(n_bench_docs)
     ref_baseline = reference_singlenode_baseline()
 
-    # --- scaling evidence: same job, same input, N vs 4N cores -------------
+    # --- scaling evidence: interleaved A/B rounds, N vs 4N cores ------------
     scaling = {}
     if do_scaling:
         low = max(cpus // 4, 2)
-        # INTERLEAVED pairs + best-of: the sandbox VM shares a hypervisor
-        # and its effective CPU wobbles ±25% on a minutes timescale, so
-        # running all low-core builds then all high-core builds samples the
-        # two levels from DIFFERENT noise epochs and corrupts the ratio
-        # (observed: the same build measured 73-135s at 8 cores across one
-        # afternoon).  Each (low, high) pair runs back-to-back inside one
-        # epoch; best-of over pairs suppresses residual neighbor noise on a
-        # fully deterministic workload.  The spin-loop ceiling is measured
-        # before AND after the builds for the same reason.
-        hw_before = hw_parallel_ceiling(low, cpus)
-        mem_before = mem_parallel_ceiling(low, cpus)
-        # A-B-A sandwich design: L0 H0 L1 H1 ... Ln, each high-cores run
-        # ratioed against the MEAN of its two adjacent low-cores runs.  The
-        # hypervisor's effective speed drifts ±25% on a minutes timescale;
-        # a plain (L, H) pair inflates or deflates the ratio whenever the
-        # epoch shifts mid-pair, while the sandwich cancels linear drift to
-        # first order.  The headline is the best sandwich ratio (all are
-        # disclosed): on a fully deterministic workload every ratio is the
-        # true capability degraded by residual noise in one direction or
-        # the other, and the sandwich bounds that residual.
-        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-        # Phase-attribution pair: the CLASSIC serial build exposes the
-        # tokenize/layout boundary the composite-ceiling calculation needs;
-        # the headline sandwich below times the PIPELINED production build
-        # (checkpoint.build_index_pipelined), whose overlap blurs that
-        # boundary by design.
-        classic_low = time_index_build(
-            low, corpus_path, f"{CORPUS_CACHE}/idx_low"
-        )
-        classic_high = time_index_build(
-            cpus, corpus_path, f"{CORPUS_CACHE}/idx_high"
-        )
-        lows = [
-            time_index_build(
-                low, corpus_path, f"{CORPUS_CACHE}/idx_low", pipelined=True
-            )
-        ]
-        highs = []
-        for _ in range(repeat):
-            highs.append(
-                time_index_build(
-                    cpus, corpus_path, f"{CORPUS_CACHE}/idx_high",
-                    pipelined=True,
-                )
-            )
-            lows.append(
-                time_index_build(
-                    low, corpus_path, f"{CORPUS_CACHE}/idx_low",
-                    pipelined=True,
-                )
-            )
-        hw_after = hw_parallel_ceiling(low, cpus)
-        mem_after = mem_parallel_ceiling(low, cpus)
-        hw = {
-            k: round((hw_before[k] + hw_after[k]) / 2, 3)
-            for k in hw_before
-        }
-        hw["before"], hw["after"] = hw_before, hw_after
-        mem = {
-            k: round((mem_before[k] + mem_after[k]) / 2, 3)
-            for k in mem_before
-        }
-        sandwich = [
-            highs[i]["docs_per_sec"]
-            / ((lows[i]["docs_per_sec"] + lows[i + 1]["docs_per_sec"]) / 2)
-            for i in range(repeat)
-        ]
-        best_i = max(range(repeat), key=lambda i: sandwich[i])
-        r_high = highs[best_i]
-        r_low = max(
-            (lows[best_i], lows[best_i + 1]), key=lambda r: r["docs_per_sec"]
-        )
-        speedup = sandwich[best_i]
-        eff = speedup / (r_high["cores"] / r_low["cores"])
-        # Composite hardware ceiling: the tokenize phase (Python CPU) can
-        # scale at the spin-loop ceiling, the layout phase (shuffle +
-        # parquet encode) at the DRAM-bandwidth ceiling.  Amdahl over the
-        # measured phase split of the CLASSIC low-cores run gives the best
-        # total speedup ANY serial plan with this phase mix could reach on
-        # this box; the pipelined build's overlap can legitimately EXCEED
-        # it (overlap removes serial time the ceiling assumes).
-        tok_l = classic_low["tokenize_phase_sec"]
-        lay_l = classic_low["layout_phase_sec"]
-        # Floor the DRAM ceiling at 1.0: a measured mem_speedup < 1 means
-        # 4x the copy processes moved FEWER bytes/sec — only possible when
-        # external contention (hypervisor neighbors) polluted the
-        # calibration window, and folding that noise into the ceiling
-        # would inflate the composite denominator's meaning.  Parallel
-        # scale-up of a saturated bus yields 1.0 at worst.
-        composite_speedup = (tok_l + lay_l) / (
-            tok_l / max(hw["hw_speedup"], 1.0)
-            + lay_l / max(mem["mem_speedup"], 1.0)
-        )
-        scaling = {
-            "low": r_low,
-            "high": r_high,
-            "classic_low": classic_low,
-            "classic_high": classic_high,
-            "classic_speedup": round(
-                classic_high["docs_per_sec"] / classic_low["docs_per_sec"],
-                3,
-            ),
-            "sandwich_speedups": [round(x, 3) for x in sandwich],
-            "low_walls": [l["wall_sec"] for l in lows],
-            "high_walls": [h["wall_sec"] for h in highs],
-            "engine_speedup": round(speedup, 3),
-            "scaling_efficiency_raw": round(eff, 3),
-            "hw_calibration": hw,
-            "mem_calibration": mem,
-            "composite_hw_speedup": round(composite_speedup, 3),
-            "scaling_efficiency_vs_hw_ceiling": round(
-                speedup / hw["hw_speedup"], 3
-            ),
-            "scaling_efficiency_vs_composite_ceiling": round(
-                speedup / composite_speedup, 3
-            ),
-            "phase_scaling": {
-                "tokenize": round(
-                    classic_low["tokenize_phase_sec"]
-                    / max(classic_high["tokenize_phase_sec"], 1e-9),
-                    3,
-                ),
-                "layout": round(
-                    classic_low["layout_phase_sec"]
-                    / max(classic_high["layout_phase_sec"], 1e-9),
-                    3,
-                ),
-            },
-        }
+        scaling = scaling_rounds(low, cpus, corpus_path, repeat=repeat)
 
     # --- query-side N vs 4N scaling (north_rule: build AND query) ----------
     qscaling = {}
@@ -644,84 +756,89 @@ def main() -> None:
         "",
     ]
     if scaling:
-        hw = scaling["hw_calibration"]
-        mem = scaling["mem_calibration"]
+        s = scaling["summary"]
         ratio = round(
-            scaling["high"]["docs_per_sec"] / ref_baseline["docs_per_sec"], 1
+            s["auto_high"]["docs_per_sec_median"]
+            / ref_baseline["docs_per_sec"],
+            1,
         )
         lines += [
             "## Index-build throughput & scaling (north_rule evidence)",
             "",
-            f"The Spark engine at local[{scaling['high']['cores']}] indexes "
-            f"**{ratio}× the reference single-node throughput** on the same "
-            "corpus generator.",
+            f"The Spark engine at local[{scaling['high_cores']}] (auto-"
+            f"dispatched build) indexes **{ratio}× the reference "
+            "single-node throughput** on the same corpus generator.",
             "",
-            "| parallelism | build | docs | wall (s) | tokenize phase (s) | layout phase (s) | docs/sec |",
-            "|---|---|---|---|---|---|---|",
-            f"| local[{scaling['low']['cores']}] | pipelined | {scaling['low']['n_docs']}"
-            f" | {scaling['low']['wall_sec']} | overlapped"
-            f" | overlapped | {scaling['low']['docs_per_sec']} |",
-            f"| local[{scaling['high']['cores']}] | pipelined | {scaling['high']['n_docs']}"
-            f" | {scaling['high']['wall_sec']} | overlapped"
-            f" | overlapped | {scaling['high']['docs_per_sec']} |",
-            f"| local[{scaling['classic_low']['cores']}] | classic serial | {scaling['classic_low']['n_docs']}"
-            f" | {scaling['classic_low']['wall_sec']} | {scaling['classic_low']['tokenize_phase_sec']}"
-            f" | {scaling['classic_low']['layout_phase_sec']} | {scaling['classic_low']['docs_per_sec']} |",
-            f"| local[{scaling['classic_high']['cores']}] | classic serial | {scaling['classic_high']['n_docs']}"
-            f" | {scaling['classic_high']['wall_sec']} | {scaling['classic_high']['tokenize_phase_sec']}"
-            f" | {scaling['classic_high']['layout_phase_sec']} | {scaling['classic_high']['docs_per_sec']} |",
+            "### Interleaved A/B protocol",
             "",
-            "The headline rows time the PIPELINED production build "
-            "(checkpoint.build_index_pipelined): each segment's bucket "
-            "layout (DRAM-bound shuffle/parquet) overlaps the next "
-            "segment's tokenize (Python-CPU) in a second FAIR scheduler "
-            "pool.  The classic serial rows expose the tokenize/layout "
-            "phase boundary for the ceiling attribution below.",
+            f"{scaling['repeat']} rounds; each round runs a CPU+DRAM "
+            "calibration, then classic → pipelined → auto builds at BOTH "
+            "core counts back-to-back inside one hypervisor epoch (the "
+            "classic phase split seeds the auto dispatcher's same-epoch "
+            "metrics).  Headlines are medians over calibration-gated "
+            f"rounds: **{scaling['accepted_rounds']} accepted, "
+            f"{scaling['rejected_rounds']} rejected** (gate: round "
+            "calibration within 15% of the across-round median on both the "
+            "CPU-spin and DRAM-copy axes; every per-round number is in "
+            "BENCH/last_run.json).  Speedups are WITHIN-round ratios — low "
+            "and high cores are never compared across epochs.",
             "",
-            f"Engine speedup N→4N: **{scaling['engine_speedup']}×** (best A-B-A "
-            f"sandwich ratio; all ratios {scaling['sandwich_speedups']}, "
-            "each high-cores run against the MEAN of its two adjacent "
-            "low-cores runs — the shared hypervisor wobbles ±25% on a "
-            "minutes timescale and the sandwich cancels linear drift); "
-            "raw efficiency "
-            f"thr(4N)/(4·thr(N)) = **{scaling['scaling_efficiency_raw']}**; "
-            f"classic serial build pair ratio {scaling['classic_speedup']}×.",
+            "| build | cores | wall s (median) | wall s (runs) | docs/sec (median) |",
+            "|---|---|---|---|---|",
+        ]
+        for cfg in BUILD_CONFIGS:
+            strat, level = cfg.rsplit("_", 1)
+            cores = scaling[f"{level}_cores"]
+            lines.append(
+                f"| {strat} | {cores} | {s[cfg]['wall_sec_median']}"
+                f" | {s[cfg]['wall_sec_runs']}"
+                f" | {s[cfg]['docs_per_sec_median']} |"
+            )
+        sp = scaling["speedups"]
+        lines += [
             "",
-            "### Hardware ceiling calibration (same box, same run, before+after)",
+            f"Winner by median wall: local[{scaling['low_cores']}] → "
+            f"**{scaling['winner_low']}**, local[{scaling['high_cores']}] → "
+            f"**{scaling['winner_high']}**; build_index_auto chose "
+            f"{scaling['auto_decisions']['low']} at low / "
+            f"{scaling['auto_decisions']['high']} at high per round (round "
+            "1 has no recorded metrics yet and defaults to classic; later "
+            "rounds dispatch on the previous same-epoch classic phase "
+            "split).",
             "",
-            "Two perfectly parallel shared-nothing calibrations bound what 4× "
-            "the processes can yield on this VM for the two kinds of work in "
-            "the build:",
+            "| strategy | N→4N speedup (median of within-round ratios) | per-round |",
+            "|---|---|---|",
+            f"| classic | {sp['classic']['median']} | {sp['classic']['runs']} |",
+            f"| pipelined | {sp['pipelined']['median']} | {sp['pipelined']['runs']} |",
+            f"| auto (headline) | {sp['auto']['median']} | {sp['auto']['runs']} |",
             "",
-            f"- CPU ceiling (pure-Python spin loop, cache-resident): "
-            f"**{hw['hw_speedup']}×** (efficiency {hw['hw_efficiency']}) — "
-            "the cores down-clock as load rises.",
+            f"Engine speedup N→4N: **{scaling['engine_speedup']}×** (auto "
+            f"build); raw efficiency thr(4N)/(4·thr(N)) = "
+            f"**{scaling['scaling_efficiency_raw']}**.",
+            "",
+            "### Hardware ceiling calibration (per round, before builds)",
+            "",
+            "Two perfectly parallel shared-nothing calibrations bound what "
+            "4× the processes can yield on this VM for the two kinds of "
+            "work in the build:",
+            "",
+            f"- CPU ceiling (pure-Python spin loop, cache-resident), raw "
+            f"per-round: {scaling['raw_calibrations']['hw_speedup']};",
             f"- DRAM-bandwidth ceiling (STREAM-style parallel 256 MB "
-            f"copies): **{mem['mem_speedup']}×** — memory bandwidth is "
-            "already saturated at N processes; 4× the cores buys almost no "
-            "extra bandwidth on one box.",
+            f"copies), raw per-round: "
+            f"{scaling['raw_calibrations']['mem_speedup']} (floored at 1.0 "
+            "in the composite — a sub-1 DRAM scaling can only be neighbor "
+            "pollution of the copy test; the CPU axis enters UNfloored per "
+            "ADVICE r3).",
             "",
-            "Measured engine phase scaling against those ceilings:",
-            "",
-            f"- tokenize/encode phase (Python-CPU-bound Arrow UDFs, classic "
-            f"serial pair): **{scaling['phase_scaling']['tokenize']}×** vs "
-            f"CPU ceiling {hw['hw_speedup']}×;",
-            f"- layout phase (shuffle + parquet encode, memory-bound, "
-            f"classic serial pair): **{scaling['phase_scaling']['layout']}×**"
-            f" vs DRAM ceiling {mem['mem_speedup']}×.",
-            "",
-            f"Composite ceiling (Amdahl over the classic serial phase mix "
-            f"at N cores): **{scaling['composite_hw_speedup']}×**. "
-            f"Pipelined engine speedup / composite ceiling = "
+            f"Composite ceiling (Amdahl over each round's classic phase mix "
+            f"and its OWN calibration): per-round "
+            f"{scaling['composite_hw_speedups']}, median "
+            f"**{scaling['composite_hw_speedup']}×**. "
+            f"Auto-build speedup / composite ceiling, per round "
+            f"{scaling['eff_composite_runs']}, median = "
             f"**{scaling['scaling_efficiency_vs_composite_ceiling']}** "
-            f"(vs the CPU-only ceiling: "
-            f"{scaling['scaling_efficiency_vs_hw_ceiling']}). The pipelined "
-            "build can legitimately approach or exceed the serial composite "
-            "ceiling: overlapping the DRAM-bound layout behind the CPU-bound "
-            "tokenize removes serial time the ceiling assumes, which is "
-            "exactly the mechanism that transfers to a real cluster. The "
-            "≥0.8 target applies against the composite number on this "
-            "single-box sandbox: a real N→4N EXECUTOR scale-up adds 4× the "
+            "(target ≥0.8). A real N→4N EXECUTOR scale-up adds 4× the "
             "hosts and therefore 4× the DRAM bandwidth and spindles — the "
             "layout phase's ceiling only exists because both \"cluster "
             "sizes\" here share one machine's memory bus. Nothing in the "
@@ -763,6 +880,12 @@ def main() -> None:
     lines += [
         "## Top-k query latency (fixture index, reference query set)",
         "",
+        "Warm numbers are MEDIANS of repeated runs (full run lists "
+        "disclosed); the parity warm block re-runs (≤3 attempts) if its "
+        "median exceeds the cold first run — an internally inconsistent "
+        "epoch — and the consistency bit is recorded "
+        "(parity_warm_le_cold).",
+        "",
         "| metric | value |",
         "|---|---|",
     ]
@@ -797,7 +920,7 @@ def main() -> None:
         "benefit ALL strategies equally). MEASURED WINS on this index "
         "(payload/plm rows above): min-span payload pruned beats "
         "exhaustive ~2x; the PLM reranking payload pruned beats exhaustive "
-        "~6-7x; light scoring (P=0) stays exhaustive by dispatch. All "
+        "~5-7x; light scoring (P=0) stays exhaustive by dispatch. All "
         "strategy pairs are rank-identical (tests/test_wand.py).",
     ]
     lines += ["", f"## Relational suite at sf={sf}", "", "| query | seconds |", "|---|---|"]
@@ -839,10 +962,15 @@ def main() -> None:
         compact["eff_composite"] = scaling[
             "scaling_efficiency_vs_composite_ceiling"
         ]
-        compact["docs_per_sec"] = scaling["high"]["docs_per_sec"]
+        compact["docs_per_sec"] = scaling["summary"]["auto_high"][
+            "docs_per_sec_median"
+        ]
+        compact["rounds_accepted"] = scaling["accepted_rounds"]
     if qscaling:
         compact["query_speedup"] = qscaling["engine_speedup"]
         compact["query_qps"] = qscaling["high"]["queries_per_sec"]
+    compact["parity_warm_sec"] = latency["parity_batch_warm_sec"]
+    compact["parity_warm_le_cold"] = latency["parity_warm_le_cold"]
     print(json.dumps(compact))
 
 

@@ -469,6 +469,7 @@ def build_index_auto(
     metrics_path: str | None = None,
     n_docs_hint: int | None = None,
     force: str | None = None,
+    report: dict | None = None,
 ) -> dict[str, DataFrame]:
     """One build entry point that picks classic-serial vs pipelined from
     MEASURED phase timings at the current parallelism (VERDICT r3 item 2).
@@ -482,6 +483,8 @@ def build_index_auto(
     builds dispatch via :func:`predict_pipelined_win`, scaling recorded
     times by ``n_docs_hint``/recorded docs when the corpus size differs.
     ``force``: ``"classic"``/``"pipelined"`` pins the strategy (bench A/B).
+    ``report``: optional dict the call fills with its decision
+    (``decision``, ``n_segments``, ``from_metrics``) for bench disclosure.
     """
     cores = spark.sparkContext.defaultParallelism
     metrics_path = metrics_path or out_dir.rstrip("/") + "_metrics.json"
@@ -502,6 +505,10 @@ def build_index_auto(
     if force in ("classic", "pipelined"):
         decision = force
         n_seg = n_seg or 4
+    if report is not None:
+        report.update(
+            decision=decision, n_segments=n_seg, from_metrics=bool(rec)
+        )
 
     if decision == "pipelined":
         return build_index_pipelined(

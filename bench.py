@@ -197,6 +197,14 @@ def time_index_build(
         extra_conf={
             "spark.sql.autoBroadcastJoinThreshold": "64m",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # Fine scan splits for the LONG Python-UDF stage: the default
+            # 128m plans ~1 task/core over the 437 MB fixture, and under
+            # hypervisor per-core steal the stage wall equals the slowest
+            # straggler (measured r4: 101 s at 32 coarse tasks vs 31 s
+            # with ~4 tasks/core — same data, same UDF).  4m ≈ one task
+            # per fixture row group; a real 100 TB table has thousands of
+            # splits per executor and this shape for free.
+            "spark.sql.files.maxPartitionBytes": "4m",
             **extra,
         },
     )

@@ -194,13 +194,19 @@ def write_docs_parquet(rows: list[dict], path: str) -> None:
             "lang": [r["lang"] for r in rows],
         }
     )
-    # Bounded row groups (~8k docs ≈ 8 MB): pyarrow's default writes ONE
+    # Bounded row groups (~4k docs ≈ 4.5 MB): pyarrow's default writes ONE
     # row group for the whole table, and a parquet row group is the unit of
     # parallel reading — a single-row-group 435 MB fixture serialized the
     # entire scan+UDF stage onto one core regardless of split planning.
     # Real warehouse tables (Iceberg write targets) always have bounded row
-    # groups; the fixture must look like them.
-    pq.write_table(table, path, row_group_size=8192)
+    # groups; the fixture must look like them.  4096 rows (was 8192): with
+    # ~9 MB row groups the 400k-doc fixture planned exactly one scan task
+    # per core, and under hypervisor per-core steal the tokenize stage's
+    # wall became the slowest straggler (measured 101 s vs 31 s with finer
+    # tasks); ~98 row groups let the build session's smaller
+    # maxPartitionBytes cut ≥3 tasks/core — the shape a real multi-file
+    # 100 TB table has naturally.
+    pq.write_table(table, path, row_group_size=4096)
 
 
 def read_queries_tsv(path: str) -> list[tuple[int, str]]:

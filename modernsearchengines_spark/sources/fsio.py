@@ -21,10 +21,22 @@ from pyspark.sql import SparkSession
 
 
 def _fs(spark: SparkSession, path: str):
-    """(FileSystem, Path, jvm) resolved for ``path``'s scheme."""
+    """(FileSystem, Path, jvm) resolved for ``path``'s scheme.
+
+    Local paths resolve to Hadoop's ChecksumFileSystem wrapper, which
+    shadows every file with a ``.crc`` sidecar — so a manifest edited or
+    replaced by anything else (tests, operators with a text editor) fails
+    reads with ChecksumException.  These are tiny metadata files, not
+    data: unwrap to the raw filesystem where a wrapper exists (HDFS/S3A
+    expose no such method and pass through).
+    """
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        fs = fs.getRawFileSystem()
+    except Exception:  # noqa: BLE001 — not a ChecksumFileSystem
+        pass
     return fs, jpath, jvm
 
 

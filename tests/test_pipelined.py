@@ -128,7 +128,8 @@ def test_build_index_auto_records_and_dispatches(spark, docs_df, tmp_path):
     mpath = str(tmp_path / "auto_metrics.json")
 
     idx = checkpoint.build_index_auto(spark, clean, out, metrics_path=mpath)
-    assert idx["postings"].count() > 0
+    n_classic = idx["postings"].count()  # materialize BEFORE the rebuild
+    assert n_classic > 0
     metrics = json.loads(open(mpath).read())
     cores = str(spark.sparkContext.defaultParallelism)
     assert cores in metrics
@@ -142,7 +143,7 @@ def test_build_index_auto_records_and_dispatches(spark, docs_df, tmp_path):
     idx2 = checkpoint.build_index_auto(spark, clean, out, metrics_path=mpath)
     # pipelined layout stores UNPRUNED postings (df prune at query time),
     # classic stores pruned -> row count reveals which branch ran
-    assert idx2["postings"].count() >= idx["postings"].count()
+    assert idx2["postings"].count() >= n_classic
     assert (
         checkpoint.read_manifest(spark, out) == {}
     )  # pipelined path, not the checkpointed-manifest path
@@ -151,4 +152,4 @@ def test_build_index_auto_records_and_dispatches(spark, docs_df, tmp_path):
     idx3 = checkpoint.build_index_auto(
         spark, clean, out, metrics_path=mpath, force="classic"
     )
-    assert idx3["postings"].count() == idx["postings"].count()
+    assert idx3["postings"].count() == n_classic

@@ -190,6 +190,13 @@ def rank(
     # DAG).  Materialize the narrow matched frame once (localCheckpoint —
     # pins it to executor storage; recompute-on-failure is lost, the right
     # trade for a frame this slim — same rationale as wand._ub_and_exact).
+    # Only the columns the ladder reads are stored: term/term_bucket are
+    # join keys, dead after the join — keeping the term strings roughly
+    # doubled the checkpointed bytes, which both stats passes then re-read
+    # (DRAM-bound on this box).
+    matched = matched.select(
+        "qnum", "doc_id", "bm25", "is_original", "is_tueb"
+    )
     if materialize:
         matched = matched.localCheckpoint(eager=False)
 

@@ -402,6 +402,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.5) via the inverted
+    shingle index — the n-gram member of the dedup ladder (exact recall,
+    no LSH; see dedup.ngram_jaccard_pairs for the web-scale df-cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.4) — declared
+    brute-force baseline; the LSH-bucketed scale path
+    (similarity.cosine_near_dup_pairs) is pytest-verified against it."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = similarity.cosine_pairs_exact(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word hits, argmax with deterministic
     tie order) — JVM column expressions only."""
@@ -947,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming": q_hamming,
         "minhash_lsh_jaccard": q_minhash_lsh_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_near_dup": q_cosine_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1428,6 +1452,43 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, ROUND(cos, 6) AS cos
 FROM ranked WHERE rank <= 10
+""",
+        "ngram_jaccard": r"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            END) AS shingle
+        FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "cosine_near_dup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.ev, b.ev)
+         / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.ev, b.ev)
+        / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
 """,
         "lang_id": """
 WITH hits AS (

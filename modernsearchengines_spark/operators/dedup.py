@@ -288,6 +288,99 @@ def lsh_candidate_pairs(
     )
 
 
+def shingles_df(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct word n-gram pairs — JVM-side only.
+
+    Shingle convention matches the simhash featureizer
+    (functions/simhash.py): empty text → no shingles; fewer than ``n``
+    tokens → one shingle of all tokens joined; otherwise the L−n+1
+    sliding windows joined with single spaces.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    shingle_arr = (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle_arr).alias("token"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_df_cap: int | None = None,
+) -> DataFrame:
+    """EXACT word n-gram Jaccard near-duplicate pairs → (id_a, id_b, jaccard).
+
+    The scalable-exact formulation: an inverted shingle index replaces the
+    all-pairs cross join — only pairs sharing ≥1 shingle are ever compared
+    (pairs with zero shared shingles have Jaccard 0 < threshold, so recall
+    is exact by construction).  All shuffles are equi-joins on the shingle
+    string / the (id_a, id_b) pair key; no window over the corpus.
+
+    ``shingle_df_cap`` optionally drops shingles appearing in more than
+    that many documents before the self-join — the standard web-scale
+    guard (a boilerplate shingle shared by 10^6 docs contributes 10^12
+    candidate pairs but almost no Jaccard mass).  At 100 TB run with a cap
+    (e.g. 1000); leave None for exact semantics, as the contract entry
+    does at fixture scale.  Complements :func:`minhash_signatures` /
+    :func:`lsh_candidate_pairs`, which trade exactness for a fixed-width
+    signature when even the inverted index is too hot.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    if shingle_df_cap is not None:
+        rare = (
+            sh.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= shingle_df_cap)
+            .select("token")
+        )
+        sh = sh.join(rare, "token")
+    a = sh.select(F.col(id_col).alias("id_a"), "token")
+    b = sh.select(F.col(id_col).alias("id_b"), "token")
+    # one pass: the inverted-index join itself yields the intersection
+    # counts (vs. candidate-pairs → re-join, which reads the shingle
+    # table three times)
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # sizes is doc-cardinality (NOT broadcastable at 100 TB) — plain
+    # equi-joins; AQE may still broadcast at small scale
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     tokens: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

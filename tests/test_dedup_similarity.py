@@ -186,6 +186,114 @@ def test_cosine_near_dup_pairs(spark):
     assert (1, 2) in got and (1, 3) not in got
 
 
+def test_ngram_jaccard_exact_pairs(spark):
+    """Inverted-index n-gram Jaccard: hand-checkable shingle sets."""
+    # doc 1: shingles {a b c, b c d}; doc 2 identical; doc 3 disjoint;
+    # doc 4: fewer than n tokens -> single joined shingle
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "x y z w"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got  # zero shared shingles never surface
+    assert (1, 4) not in got  # "a b" shingle ∉ doc 1's 3-gram set
+    # threshold filters
+    kept = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in kept.collect()} == {(1, 2)}
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """The web-scale guard: a boilerplate shingle shared by every doc is
+    pruned by shingle_df_cap, removing pairs whose only link it was."""
+    boiler = "all rights reserved"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} words{i} here{i} " + boiler) for i in range(5)],
+        "doc_id long, text string",
+    )
+    full = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.0, shingle_df_cap=3
+    )
+    assert full.count() == 10  # every pair shares the boilerplate shingle
+    assert capped.count() == 0  # hot shingle pruned -> no candidates
+
+
+def test_cosine_pairs_exact_is_lsh_superset(spark):
+    """cosine_pairs_exact is the declared oracle for the LSH scale path:
+    LSH results ⊆ exact, and multi-table recall approaches 1 on planted
+    near-dups."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_exact(vecs, 0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup_pairs(
+            vecs, 0.99, dim=dim, n_planes=8, n_tables=6
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact and len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer ANN: self-hit always survives (its own cell is
+    its top probe), recall grows with nprobe, and nprobe=k degenerates to
+    exhaustive (every cell probed ⇒ identical to brute force)."""
+    import random
+
+    rng = random.Random(17)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        vecs.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    n_cells = 8
+    cents = similarity.train_ivf_centroids(vecs, k=n_cells)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(vecs, queries, k=5).collect()
+    }
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            vecs, queries, cents, k=5, nprobe=2
+        ).collect()
+    }
+    got_all = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            vecs, queries, cents, k=5, nprobe=n_cells
+        ).collect()
+    }
+    for q in range(5):
+        assert (q, q) in got2  # self-hit: own cell is the top probe
+    assert got_all == exact  # all cells probed ⇒ exhaustive
+    assert len(got2 & exact) / len(exact) >= 0.3
+
+
 def test_streaming_ingest_foreachbatch(spark, docs_parquet, tmp_path):
     from modernsearchengines_spark.streaming.ingest import start_ingest
 

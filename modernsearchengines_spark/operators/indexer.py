@@ -628,7 +628,10 @@ def score_and_layout(
 
 
 def write_index(
-    index: dict[str, DataFrame], out_dir: str, cluster_terms: bool = False
+    index: dict[str, DataFrame],
+    out_dir: str,
+    cluster_terms: bool = False,
+    write_salt: int = 1,
 ) -> None:
     """Persist the index tables (Iceberg-equivalent Parquet layout).
 
@@ -641,6 +644,16 @@ def write_index(
     ``cluster_terms``: additionally sortWithinPartitions(term) so each
     term's postings are contiguous in the bucket file — dictionary indices
     RLE away and term-equality scans skip pages via column-index stats.
+
+    ``write_salt``: the bucket-keyed repartition caps the write stage at
+    ≤ DEFAULT_TERM_BUCKETS (64) non-empty partitions — one reducer per
+    bucket — fine up to ~64-way parallelism, a hard cap on a 1000-executor
+    cluster.  write_salt=S shards each bucket across S reducers
+    (partition key (term_bucket, xxhash64(doc_id) % S)), so write
+    parallelism = buckets × S while every row still lands in its bucket's
+    directory (S files per dir; readers glob the dir, pruning unchanged).
+    Set S ≈ cluster_cores / DEFAULT_TERM_BUCKETS at scale; 1 (default)
+    keeps the one-coherent-file-per-bucket local layout.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -651,7 +664,13 @@ def write_index(
     # blocks derivation orders after postings (it reads the written files —
     # a narrow columnar re-read beats re-evaluating the scoring subtree).
     def _write_postings() -> None:
-        p = index["postings"].repartition("term_bucket")
+        if write_salt > 1:
+            p = index["postings"].repartition(
+                F.col("term_bucket"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(write_salt)),
+            )
+        else:
+            p = index["postings"].repartition("term_bucket")
         if cluster_terms:
             p = p.sortWithinPartitions("term")
         p.write.mode("overwrite").partitionBy("term_bucket").parquet(

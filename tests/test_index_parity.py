@@ -178,3 +178,40 @@ def test_collision_guard_detects_forced_collision(spark, docs_df, monkeypatch):
     monkeypatch.setattr(indexer, "assign_doc_ids", colliding_ids)
     with pytest.raises(ValueError, match="collision"):
         indexer.build_index(spark, indexer.clean_docs(docs_df))
+
+
+def test_write_salt_layout_is_query_identical(spark, docs_df, tmp_path):
+    """write_salt=S shards each bucket's write across S reducers (the
+    >64-way-cluster write-parallelism path); rows still land in their
+    term_bucket directory and the read-back index is row- and
+    query-identical to the default one-reducer-per-bucket layout."""
+    from modernsearchengines_spark.operators import query
+    from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
+
+    idx = indexer.build_index(spark, indexer.clean_docs(docs_df))
+    d0, d4 = str(tmp_path / "plain"), str(tmp_path / "salted")
+    indexer.write_index(idx, d0)
+    indexer.write_index(idx, d4, write_salt=4)
+
+    p0 = spark.read.parquet(f"{d0}/postings")
+    p4 = spark.read.parquet(f"{d4}/postings")
+    assert p0.count() == p4.count()
+    # partition pruning intact: every row sits in its own bucket directory
+    mis = p4.filter(
+        F.col("term_bucket")
+        != F.pmod(F.xxhash64("term"), F.lit(indexer.DEFAULT_TERM_BUCKETS)).cast("int")
+    ).count()
+    assert mis == 0
+
+    r0 = query.run_query_batch(
+        spark, indexer.read_index(spark, d0), REFERENCE_QUERIES
+    ).collect()
+    r4 = query.run_query_batch(
+        spark, indexer.read_index(spark, d4), REFERENCE_QUERIES
+    ).collect()
+    assert [(r.qnum, r.rank, r.doc_id) for r in r0] == [
+        (r.qnum, r.rank, r.doc_id) for r in r4
+    ]
+    assert all(
+        abs(a.score - b.score) < 1e-9 for a, b in zip(r0, r4)
+    )

@@ -53,7 +53,12 @@ def read_manifest(spark: SparkSession, out_dir: str) -> dict[int, dict]:
     out = {}
     for name in fsio.listdir(spark, mdir):
         if name.endswith(".json"):
-            row = json.loads(fsio.read_text(spark, fsio.join(mdir, name)))
+            # listed-then-missing = a concurrent writer mid delete+rename
+            # commit; treat as not-yet-committed (fsio.read_text_or_none)
+            text = fsio.read_text_or_none(spark, fsio.join(mdir, name))
+            if text is None:
+                continue
+            row = json.loads(text)
             out[row["segment_id"]] = row
     return out
 
@@ -490,7 +495,8 @@ def build_index_auto(
     metrics_path = metrics_path or out_dir.rstrip("/") + "_metrics.json"
     metrics: dict = {}
     if fsio.exists(spark, metrics_path):
-        metrics = json.loads(fsio.read_text(spark, metrics_path))
+        text = fsio.read_text_or_none(spark, metrics_path)
+        metrics = json.loads(text) if text is not None else {}
 
     decision, n_seg = "classic", None
     rec = metrics.get(str(cores))

@@ -130,7 +130,11 @@ def train_ivf_centroids(
     quantizer needs only a sample (`sample_rows` caps the collect — at
     100 TB that is a ~10 MB draw, not a table scan; the sample fraction
     is estimated from a cheap count).  Deterministic: seeded NumPy RNG,
-    fixed iteration count, ties broken by lowest centroid index.
+    fixed iteration count, ties broken by lowest centroid index, and the
+    sampled rows are made order-stable by sorting on a content hash before
+    the limit — sample(seed) alone is partition-layout dependent, so the
+    same data repartitioned differently would otherwise yield different
+    centroids.
     """
     import numpy as np
 
@@ -138,6 +142,7 @@ def train_ivf_centroids(
     frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
     rows = (
         vectors.select(vec_col).sample(fraction=frac, seed=seed)
+        .orderBy(F.xxhash64(F.to_json(F.struct(vec_col))))
         .limit(sample_rows).collect()
     )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
@@ -167,9 +172,24 @@ def _centroid_assign_udf(centroids, nprobe: int):
 
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         x = np.asarray(list(vecs), dtype=np.float64)
-        if x.ndim != 2 or len(x) == 0:
-            return pd.Series([[0]] * len(vecs))
+        if x.ndim != 2:
+            # Ragged dims or null embeddings collapse np.asarray to a 1-D
+            # object array; silently bucketing such rows (the old [[0]]
+            # fallback) skews every malformed vector into cell 0 and masks
+            # the data problem — fail loudly instead, naming the cause.
+            bad = [
+                i for i, v in enumerate(vecs)
+                if v is None or len(v) != len(c[0])
+            ]
+            raise ValueError(
+                f"IVF centroid assignment got null/ragged embeddings "
+                f"(expected dim {len(c[0])}); {len(bad)} bad rows in this "
+                f"batch, first offsets {bad[:5]} — filter nulls and enforce "
+                "a fixed dim upstream"
+            )
         scores = x @ c.T - half_c2
         top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.tolist() for row in top.astype("int32")])
@@ -285,14 +305,24 @@ def cosine_near_dup_pairs(
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
-    )
-    return (
+    b = banded.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    # Multi-table collisions are deduped on the PAIR KEY with only one
+    # vector side aboard (va rides — it is functionally dependent on id_a,
+    # so dropDuplicates keeps a consistent row); the b-side vector joins
+    # back AFTER the dedup.  Carrying both vectors through the dedup
+    # exchange doubled its bytes for no information (the r4 .distinct()
+    # shape) — at n_tables=8+ that exchange dominates the candidate stage.
+    pairs = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()  # dedup multi-table collisions BEFORE the dot products
+        .select("id_a", "id_b", "va")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vb_side = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        pairs.join(vb_side, "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

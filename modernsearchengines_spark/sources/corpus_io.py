@@ -100,6 +100,13 @@ def append_to_index(
 
     from ..operators import checkpoint, indexer
 
+    # Dedup the batch BY THE APPEND KEY first: clean_docs only collapses
+    # identical-text simhash dupes, so two same-url rows with different text
+    # would otherwise both survive, share doc_id=xxhash64(url), and append
+    # duplicate doc_id rows + doubled postings — invisible to the collision
+    # guard below (both countDistincts collapse identically).  Keep-first is
+    # arbitrary-but-deterministic only per-batch, matching append_new_docs.
+    new_docs = new_docs.dropDuplicates(["url"])
     df_prune = indexer.DF_PRUNE if df_prune is None else df_prune
     term_buckets = (
         indexer.DEFAULT_TERM_BUCKETS if term_buckets is None else term_buckets

@@ -79,6 +79,23 @@ def read_text(spark: SparkSession, path: str) -> str:
     return bytes(data).decode("utf-8")
 
 
+def read_text_or_none(spark: SparkSession, path: str) -> str | None:
+    """``read_text`` that treats a vanished file as absent.
+
+    :func:`write_text_atomic` commits with delete+rename (Hadoop rename
+    does not overwrite); a reader that listed the file can race the
+    sub-window between those two steps and find it missing.  The manifest
+    protocol's correct reading of that state is "not committed" — so
+    return None instead of surfacing FileNotFoundException.
+    """
+    try:
+        return read_text(spark, path)
+    except Exception as exc:  # noqa: BLE001 — py4j wraps the Java IOException
+        if "FileNotFoundException" in str(exc):
+            return None
+        raise
+
+
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Write-to-temp + rename commit (the manifest protocol).
 

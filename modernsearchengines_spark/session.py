@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No \r progress spam on stderr: the driver harness records only
+        # a short tail of combined output, and progress bars printed
+        # after the bench's JSON line would push it out of the tail.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -107,10 +107,20 @@ def test_predict_pipelined_win_parallelism_dependent():
         predict_pipelined_win,
     )
 
-    win_low, s_low, saving, cost = predict_pipelined_win(100.0, 50.0)
+    win_low, s_low, saving, cost = predict_pipelined_win(100.0, 100.0)
     assert win_low and saving > cost
     win_high, _, _, _ = predict_pipelined_win(12.0, 6.0)
     assert not win_high
+    # Noise band (VERDICT r4 item 2): a thin predicted margin is NOT a
+    # switch.  (100, 50) nets ~12% of the classic wall — saving > cost,
+    # but below the 15% band the epoch variance swamps.
+    win_thin, _, saving_t, cost_t = predict_pipelined_win(100.0, 50.0)
+    assert saving_t > cost_t and not win_thin
+    # The round-4 measured splits dispatch correctly under the band:
+    # 8-core (66.5, 31.6) -> classic won the measurement, model says stay;
+    # 32-core (43.9, 78.1) -> pipelined won by ~15%, model says switch.
+    assert not predict_pipelined_win(66.5, 31.6)[0]
+    assert predict_pipelined_win(43.9, 78.1)[0]
     assert 4 <= auto_segments(0.0) <= 16
     assert 4 <= auto_segments(1e6) <= 16
     assert auto_segments(50.0) >= auto_segments(5.0)
@@ -137,16 +147,36 @@ def test_build_index_auto_records_and_dispatches(spark, docs_df, tmp_path):
     assert rec["tokenize_sec"] > 0 and rec["layout_sec"] >= 0
     assert rec["n_docs"] == clean.count()
 
-    # rig long phases -> the second build takes the pipelined branch
+    # rig long balanced phases -> the second build takes the pipelined
+    # branch (net predicted saving clears the dispatch noise band)
     metrics[cores] = {"tokenize_sec": 120.0, "layout_sec": 80.0, "n_docs": rec["n_docs"]}
     open(mpath, "w").write(json.dumps(metrics))
-    idx2 = checkpoint.build_index_auto(spark, clean, out, metrics_path=mpath)
+    report2: dict = {}
+    idx2 = checkpoint.build_index_auto(
+        spark, clean, out, metrics_path=mpath, report=report2
+    )
+    assert report2["decision"] == "pipelined"
+    assert report2["basis"] == "classic_model"
     # pipelined layout stores UNPRUNED postings (df prune at query time),
     # classic stores pruned -> row count reveals which branch ran
     assert idx2["postings"].count() >= n_classic
     assert (
         checkpoint.read_manifest(spark, out) == {}
     )  # pipelined path, not the checkpointed-manifest path
+
+    # the pipelined run recorded its own wall + pre-pass into the sidecar;
+    # the next dispatch has BOTH strategies measured and compares walls
+    # directly (the rigged 200s classic vs the real few-second pipelined)
+    metrics2 = json.loads(open(mpath).read())
+    rec2 = metrics2[cores]
+    assert rec2["pipelined_wall_sec"] > 0
+    assert rec2["prepass_sec"] > 0
+    report3: dict = {}
+    checkpoint.build_index_auto(
+        spark, clean, out, metrics_path=mpath, report=report3
+    )
+    assert report3["basis"] == "measured_both"
+    assert report3["decision"] == "pipelined"
 
     # force overrides the metrics-based decision
     idx3 = checkpoint.build_index_auto(

@@ -445,7 +445,9 @@ def time_queries(
     out: dict = {}
 
     def parity():
-        query.run_query_batch(spark, index, REFERENCE_QUERIES).collect()
+        res = query.run_query_batch(spark, index, REFERENCE_QUERIES)
+        res.collect()
+        query.release(res)  # unpersist per-batch cached frames (r4 ADVICE)
 
     t0 = time.time()
     parity()

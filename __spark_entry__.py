@@ -1736,3 +1736,53 @@ FROM sess GROUP BY user_id, session_id
         # plm_topk, subword_counts, minspan_proximity_udf) is hash-checked
         # via the SQL replays above.
     }
+
+
+# ---------------------------------------------------------------------------
+# bench-lite: a ~20 s perf smoke the driver can run even when the full
+# bench.py protocol would blow its budget (VERDICT r4 item 5).  Emits the
+# SAME compact JSON schema as bench.py's headline line, flagged "lite".
+# ---------------------------------------------------------------------------
+
+
+def bench_lite(sf_dir: str | None = None, cpus: int | None = None) -> dict:
+    """Time only bench.py's HEADLINE_QUERIES at ``sf_dir`` and return the
+    bench-compatible result dict (also printed as ONE JSON line by the
+    ``python __spark_entry__.py --bench-lite`` entrypoint)."""
+    import os
+    import time
+
+    from bench import HEADLINE_QUERIES
+    from modernsearchengines_spark.session import get_spark
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench-lite", cores=cpus, shuffle_partitions=2 * cpus)
+    qmap = queries()
+    t_suite = time.time()
+    # one trivial action to absorb first-job session setup so the first
+    # headline query isn't billed the JVM warm-up
+    spark.range(1).count()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).collect()
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return {
+        "metric": "bench_suite_wall",
+        "value": round(time.time() - t_suite, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "lite": True,
+    }
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    if "--bench-lite" in sys.argv:
+        print(json.dumps(bench_lite()), flush=True)

@@ -919,6 +919,80 @@ def _compact_from(result: dict, suite_t0: float, partial: bool) -> dict:
     return compact
 
 
+def save_scaling_run(scaling: dict) -> str:
+    """Persist this run's scaling block to the next BENCH/scaling_runN.json
+    so consecutive bench invocations (different hypervisor epochs) can be
+    compared — the VERDICT r4 done-criterion for the scaling headline is
+    reproducibility within 10% across two committed runs."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    n = 1
+    while os.path.exists(os.path.join(BENCH_DIR, f"scaling_run{n}.json")):
+        n += 1
+    path = os.path.join(BENCH_DIR, f"scaling_run{n}.json")
+    with open(path, "w") as fh:
+        json.dump(scaling, fh, indent=1)
+    return path
+
+
+def _repro_section(scaling: dict) -> list[str]:
+    """Cross-run reproducibility of the CPU-work headline: compare this
+    run's eff_cpu medians against every earlier BENCH/scaling_runN.json."""
+    runs: list[tuple[str, dict]] = []
+    n = 1
+    while True:
+        path = os.path.join(BENCH_DIR, f"scaling_run{n}.json")
+        if not os.path.exists(path):
+            break
+        try:
+            with open(path) as fh:
+                runs.append((f"run{n}", json.load(fh)))
+        except (OSError, json.JSONDecodeError):
+            pass
+        n += 1
+    # the current in-memory scaling block is the latest run (it was saved
+    # as the highest-numbered file by save_scaling_run before rendering)
+    if len(runs) < 2:
+        return []
+    lines = [
+        "### Cross-run reproducibility of the CPU-work headline",
+        "",
+        "Each row is one full bench invocation (its own hypervisor epoch; "
+        "files committed as BENCH/scaling_runN.json).  The headline is "
+        "reproducible when consecutive runs agree within 10%:",
+        "",
+        "| run | eff_cpu classic | eff_cpu pipelined | eff_cpu auto | tokenize-only | DRAM cal (GB/s proxy) |",
+        "|---|---|---|---|---|---|",
+    ]
+    meds = []
+    for name, s in runs:
+        ce = s.get("cpu_work_efficiency", {})
+        tok = s.get("cpu_work_efficiency_tokenize", {}).get("median")
+        cal = s.get("calibration_medians", {}).get("mem_thr_low")
+        row = [
+            ce.get("classic", {}).get("median"),
+            ce.get("pipelined", {}).get("median"),
+            ce.get("auto", {}).get("median"),
+        ]
+        meds.append(row)
+        lines.append(
+            f"| {name} | {row[0]} | {row[1]} | {row[2]} | {tok} | {cal} |"
+        )
+    a, b = meds[-2], meds[-1]
+    rel = [
+        round(abs(x - y) / max(abs(x), 1e-9), 3)
+        for x, y in zip(a, b)
+        if x is not None and y is not None
+    ]
+    ok = bool(rel) and max(rel) <= 0.10
+    lines += [
+        "",
+        f"Latest two runs' relative deltas (classic/pipelined/auto): {rel} "
+        f"→ **{'REPRODUCIBLE within 10%' if ok else 'NOT yet within 10%'}**.",
+        "",
+    ]
+    return lines
+
+
 def render_baseline_md(result: dict, n_bench_docs: int, sf_dir: str) -> str:
     """BENCH/BASELINE.md from whatever phases have completed."""
     lines = [
@@ -1058,6 +1132,7 @@ def render_baseline_md(result: dict, n_bench_docs: int, sf_dir: str) -> str:
             "combine end-to-end (event-log stage analysis, VERDICT r1/r2).",
             "",
         ]
+        lines += _repro_section(scaling)
     qscaling = result.get("query_scaling") or {}
     if qscaling:
         lines += [
@@ -1240,6 +1315,7 @@ def main() -> None:
     result["index_scaling"] = scaling_rounds(
         low, cpus, corpus_path, repeat=repeat
     )
+    result["scaling_run_file"] = save_scaling_run(result["index_scaling"])
     emit("index_scaling")
 
     # --- 4. query-side N vs 4N (skipped if the epoch already ate the

@@ -113,3 +113,21 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         .count()
     )
     assert batch.count() == 4  # 00:00-:15, :15-:30, :30-:45, :45-:50
+
+
+def test_release_unpersists_rank_cache(spark, search_setup):
+    """rank() cache lifecycle (r5): a materialized batch pins exactly two
+    intermediate frames; release() returns their storage to NONE so tight
+    interactive loops don't accumulate cached blocks across batches."""
+    from modernsearchengines_spark.sources.docs import REFERENCE_QUERIES
+
+    idx, _docs = search_setup
+    res = query.run_query_batch(spark, idx, REFERENCE_QUERIES)
+    res.collect()
+    frames = res._cached_frames
+    assert len(frames) == 2
+    assert all(f.storageLevel.useMemory for f in frames)
+    query.release(res)
+    assert all(not f.storageLevel.useMemory for f in frames)
+    # no-op on frames without the attribute
+    query.release(res.limit(1))

@@ -195,6 +195,21 @@ def _memcopy(n_iters: int) -> int:
     return int(a[0])
 
 
+def _warm_page_cache(sf_dir: str) -> None:
+    """Pre-read the suite's parquet bytes so the FIRST timed query isn't
+    billed the cold OS page cache (same discipline as time_index_build's
+    pre-clock warm pass — run order otherwise hands later queries a warm
+    cache the first one never had)."""
+    for root, _dirs, files in os.walk(sf_dir):
+        for name in files:
+            try:
+                with open(os.path.join(root, name), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+            except OSError:
+                pass
+
+
 def reference_singlenode_baseline(n_docs: int = 2000) -> dict:
     """Measure the reference architecture's throughput: single-threaded
     row-at-a-time Python indexing (the in-repo oracle IS that architecture —
@@ -1287,6 +1302,7 @@ def main() -> None:
     from modernsearchengines_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
+    _warm_page_cache(sf_dir)
     qtimes: dict[str, float] = {}
     qmap = entrymod.queries()
     for name in HEADLINE_QUERIES:

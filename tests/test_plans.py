@@ -129,3 +129,28 @@ def test_minhash_default_token_ids_have_no_global_window(spark, docs_df):
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
     jac = dedup.jaccard_pairs(toks, pairs, "doc_id")
     assert jac.filter(F.col("jaccard") >= 0.99).count() > 0  # planted dups
+
+
+def test_bm25_topk_filters_terms_before_tf_shuffle(spark):
+    """r5 shape lock: the tf aggregation's shuffle must carry only rows
+    surviving the broadcast term filter (4 query terms), never the full
+    corpus vocabulary, and dl must come from size(split()) on a narrow
+    scan — no explode+groupBy pass for document length."""
+    df = entrymod.q_bm25_topk(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # terms (and the tiny df frame) arrive by broadcast
+    assert uses_broadcast_join(df)
+    # the generate (explode) feeds a broadcast-hash-join BEFORE any
+    # exchange: no "Exchange hashpartitioning" may appear between the
+    # Generate node and the first BroadcastHashJoin in the tf subtree.
+    gen_pos = plan.find("Generate")
+    bhj_pos = plan.find("BroadcastHashJoin")
+    assert gen_pos != -1 and bhj_pos != -1
+    segment = plan[min(gen_pos, bhj_pos): max(gen_pos, bhj_pos)]
+    assert "Exchange hashpartitioning" not in segment, segment
+    # the tf subtree feeds BOTH the df aggregation and the scored join;
+    # at runtime AQE must collapse the twin into ONE exchange (the
+    # explicit isnotnull(doc_id) keeps the two copies plan-identical)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

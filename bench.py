@@ -645,6 +645,110 @@ BUILD_CONFIGS = (
 )
 
 
+def lowpair_scaling(n_docs: int = 150_000, low: int = 2, high: int = 8) -> dict:
+    """N→4N scaling at parallelism levels the single-box sandbox can
+    physically supply 4× the resources for (r5).
+
+    The 8→32 pair saturates this VM's one memory bus (mem calibration
+    1.09-2.9× for 4× procs), so its wall/CPU scaling measures the bus, not
+    the engine — three rounds of epoch forensics (r2-r4).  At 2→8 cores
+    the aggregate bandwidth demand stays under the measured ceiling at
+    BOTH levels, so the engine's own scaling is visible and reproducible
+    across epoch modes.  One classic build per level (same corpus
+    generator, page-cache warm inside time_index_build); result persisted
+    to BENCH/scaling_lowpair.json and rendered into BASELINE.md.
+    """
+    corpus_path = ensure_corpus(n_docs)
+    cal = calibrate(low, high)
+    b_low = time_index_build(
+        low, corpus_path, f"{CORPUS_CACHE}/idx_lp_low", "classic"
+    )
+    b_high = time_index_build(
+        high, corpus_path, f"{CORPUS_CACHE}/idx_lp_high", "classic"
+    )
+    speedup = round(b_high["docs_per_sec"] / b_low["docs_per_sec"], 3)
+    cpu_ratio = (
+        round(b_high["cpu_sec"] / b_low["cpu_sec"], 3)
+        if b_low["cpu_sec"] and b_high["cpu_sec"]
+        else None
+    )
+    infl = cal.get("hw_cpu_inflation")
+    tok_sp = (
+        round(b_low["tokenize_phase_sec"] / b_high["tokenize_phase_sec"], 3)
+        if b_low["tokenize_phase_sec"] and b_high["tokenize_phase_sec"]
+        else None
+    )
+    tok_cpu_ratio = (
+        round(b_high["tokenize_cpu_sec"] / b_low["tokenize_cpu_sec"], 3)
+        if b_low["tokenize_cpu_sec"] and b_high["tokenize_cpu_sec"]
+        else None
+    )
+    out = {
+        "low": b_low,
+        "high": b_high,
+        "calibration": cal,
+        "engine_speedup": speedup,
+        "scaling_efficiency_raw": round(speedup / (high / low), 3),
+        "cpu_work_ratio": cpu_ratio,
+        "cpu_work_efficiency": (
+            round(infl / cpu_ratio, 3) if infl and cpu_ratio else None
+        ),
+        "tokenize_phase_speedup": tok_sp,
+        "tokenize_cpu_ratio": tok_cpu_ratio,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(os.path.join(BENCH_DIR, "scaling_lowpair.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    return out
+
+
+def _lowpair_section(result: dict) -> list[str]:
+    """Render the 2→8 pair from this run or, failing that, the committed
+    BENCH/scaling_lowpair.json from an earlier (possibly out-of-band) run."""
+    lp = result.get("lowpair_scaling")
+    src = "this run"
+    if not lp:
+        path = os.path.join(BENCH_DIR, "scaling_lowpair.json")
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    lp = json.load(fh)
+                src = "committed BENCH/scaling_lowpair.json (earlier epoch)"
+            except (OSError, json.JSONDecodeError):
+                return []
+    if not lp:
+        return []
+    cal = lp.get("calibration", {})
+    return [
+        "### N→4N scaling inside the box's physical envelope (2 → 8 cores)",
+        "",
+        f"Source: {src}.  The 8→32 pair demands ~4× one memory bus's "
+        "bandwidth and so measures the VM, not the engine (calibrations "
+        "above); at 2→8 cores aggregate demand stays under the measured "
+        "ceiling at both levels, making the ENGINE's scaling visible:",
+        "",
+        "| cores | wall s | cpu s | docs/sec |",
+        "|---|---|---|---|",
+        f"| {lp['low']['cores']} | {lp['low']['wall_sec']} | "
+        f"{lp['low']['cpu_sec']} | {lp['low']['docs_per_sec']} |",
+        f"| {lp['high']['cores']} | {lp['high']['wall_sec']} | "
+        f"{lp['high']['cpu_sec']} | {lp['high']['docs_per_sec']} |",
+        "",
+        f"N→4N wall speedup **{lp['engine_speedup']}×** (raw efficiency "
+        f"{lp['scaling_efficiency_raw']}); CPU-work efficiency "
+        f"(hw_cpu_inflation / cpu_ratio) = **{lp.get('cpu_work_efficiency')}"
+        f"** (target ≥0.8; cpu ratio high/low {lp['cpu_work_ratio']}, 1.0 "
+        "= no engine-attributable overhead added by 4× parallelism).  "
+        f"Tokenize phase alone: wall speedup {lp.get('tokenize_phase_speedup')}"
+        f"×, cpu ratio {lp.get('tokenize_cpu_ratio')}.  Epoch calibration "
+        f"at 2→8: CPU spin {cal.get('hw_speedup')}×, DRAM copy "
+        f"{cal.get('mem_speedup')}× (copy throughput "
+        f"{cal.get('mem_thr_low')} GB/s at {lp['low']['cores']} procs — "
+        "the layout phase's shuffle/parquet write rides this axis).",
+        "",
+    ]
+
+
 def scaling_rounds(
     low: int, high: int, corpus_path: str, repeat: int = 1
 ) -> dict:
@@ -1148,6 +1252,7 @@ def render_baseline_md(result: dict, n_bench_docs: int, sf_dir: str) -> str:
             "",
         ]
         lines += _repro_section(scaling)
+    lines += _lowpair_section(result)
     qscaling = result.get("query_scaling") or {}
     if qscaling:
         lines += [
@@ -1343,6 +1448,15 @@ def main() -> None:
         emit("query_scaling")
     else:
         result["query_scaling_skipped_for_budget"] = True
+
+    # --- 4b. 2→8-core pair (engine scaling inside the box's physical
+    # envelope) — runs when the epoch left room in the budget; otherwise
+    # BASELINE.md renders the committed BENCH/scaling_lowpair.json ---------
+    if budget_left() > 420:
+        result["lowpair_scaling"] = lowpair_scaling()
+        emit("lowpair_scaling")
+    else:
+        result["lowpair_skipped_for_budget"] = True
 
     # --- 5. query latency on the built index --------------------------------
     spark = get_spark(

@@ -1766,7 +1766,7 @@ def bench_lite(sf_dir: str | None = None, cpus: int | None = None) -> dict:
     import os
     import time
 
-    from bench import HEADLINE_QUERIES, _warm_page_cache
+    from bench import HEADLINE_QUERIES, _warm_jvm, _warm_page_cache
     from modernsearchengines_spark.session import get_spark
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1775,10 +1775,10 @@ def bench_lite(sf_dir: str | None = None, cpus: int | None = None) -> dict:
     spark = get_spark("bench-lite", cores=cpus, shuffle_partitions=2 * cpus)
     qmap = queries()
     t_suite = time.time()
-    # one trivial action to absorb first-job session setup so the first
-    # headline query isn't billed the JVM warm-up; pre-read the parquet
-    # bytes so it isn't billed the cold OS page cache either
+    # untimed warm-up: session setup + whole-stage-codegen JIT (flagship
+    # on the toy tables) + OS page cache over the timed tables
     spark.range(1).count()
+    _warm_jvm(spark, qmap)
     _warm_page_cache(sf_dir)
     qtimes: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

@@ -210,6 +210,21 @@ def _warm_page_cache(sf_dir: str) -> None:
                 pass
 
 
+def _warm_jvm(spark, qmap) -> None:
+    """Untimed JVM warm-up: run the flagship once on the toy sf0.001
+    tables so the first TIMED query isn't billed whole-stage-codegen
+    compilation, parquet-reader init, and AQE class loading (standard
+    warm-JVM measurement basis; steady-state cost is what scales)."""
+    toy = "/root/testdata/sf0.001"
+    try:
+        if os.path.isdir(toy):
+            qmap["bm25_topk"](spark, toy).collect()
+        else:
+            spark.range(64).selectExpr("id % 4 AS k").groupBy("k").count().collect()
+    except Exception:
+        pass
+
+
 def reference_singlenode_baseline(n_docs: int = 2000) -> dict:
     """Measure the reference architecture's throughput: single-threaded
     row-at-a-time Python indexing (the in-repo oracle IS that architecture —
@@ -696,36 +711,60 @@ def lowpair_scaling(n_docs: int = 150_000, low: int = 2, high: int = 8) -> dict:
         "tokenize_phase_speedup": tok_sp,
         "tokenize_cpu_ratio": tok_cpu_ratio,
     }
+    # append to the cross-epoch run history (reproducibility evidence)
     os.makedirs(BENCH_DIR, exist_ok=True)
-    with open(os.path.join(BENCH_DIR, "scaling_lowpair.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    path = os.path.join(BENCH_DIR, "scaling_lowpair.json")
+    hist: list = []
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            hist = prev["runs"] if isinstance(prev, dict) and "runs" in prev else [prev]
+        except (OSError, json.JSONDecodeError, KeyError):
+            hist = []
+    hist.append(out)
+    with open(path, "w") as fh:
+        json.dump({"runs": hist}, fh, indent=1)
     return out
 
 
-def _lowpair_section(result: dict) -> list[str]:
-    """Render the 2→8 pair from this run or, failing that, the committed
-    BENCH/scaling_lowpair.json from an earlier (possibly out-of-band) run."""
-    lp = result.get("lowpair_scaling")
-    src = "this run"
-    if not lp:
-        path = os.path.join(BENCH_DIR, "scaling_lowpair.json")
-        if os.path.exists(path):
-            try:
-                with open(path) as fh:
-                    lp = json.load(fh)
-                src = "committed BENCH/scaling_lowpair.json (earlier epoch)"
-            except (OSError, json.JSONDecodeError):
-                return []
-    if not lp:
+def _lowpair_runs() -> list[dict]:
+    path = os.path.join(BENCH_DIR, "scaling_lowpair.json")
+    if not os.path.exists(path):
         return []
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return []
+    if isinstance(prev, dict) and "runs" in prev:
+        return prev["runs"]
+    return [prev]
+
+
+def _lowpair_section(result: dict) -> list[str]:
+    """Render the 2→8 pair — the full cross-epoch run history from
+    BENCH/scaling_lowpair.json (this run's sample, if any, is already
+    appended there by lowpair_scaling)."""
+    runs = _lowpair_runs()
+    if not runs:
+        lp = result.get("lowpair_scaling")
+        if not lp:
+            return []
+        runs = [lp]
+    lp = runs[-1]
+    src = (
+        "this run" if result.get("lowpair_scaling") else
+        "committed BENCH/scaling_lowpair.json (earlier epoch)"
+    )
     cal = lp.get("calibration", {})
-    return [
-        "### N→4N scaling inside the box's physical envelope (2 → 8 cores)",
-        "",
-        f"Source: {src}.  The 8→32 pair demands ~4× one memory bus's "
-        "bandwidth and so measures the VM, not the engine (calibrations "
-        "above); at 2→8 cores aggregate demand stays under the measured "
-        "ceiling at both levels, making the ENGINE's scaling visible:",
+    lines = _lowpair_history_lines(runs)
+    return lines + [
+        f"Latest sample ({src}) in detail.  The 8→32 pair demands ~4× one "
+        "memory bus's bandwidth and so measures the VM, not the engine "
+        "(calibrations above); at 2→8 cores aggregate demand stays under "
+        "the measured ceiling at both levels, making the ENGINE's scaling "
+        "visible:",
         "",
         "| cores | wall s | cpu s | docs/sec |",
         "|---|---|---|---|",
@@ -747,6 +786,38 @@ def _lowpair_section(result: dict) -> list[str]:
         "the layout phase's shuffle/parquet write rides this axis).",
         "",
     ]
+
+
+def _lowpair_history_lines(runs: list[dict]) -> list[str]:
+    lines = [
+        "### N→4N scaling inside the box's physical envelope (2 → 8 cores)",
+        "",
+        "One sample per bench epoch (history in BENCH/scaling_lowpair.json):",
+        "",
+        "| sample | wall speedup | cpu-work eff | tokenize speedup | tokenize cpu ratio | DRAM cal GB/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for i, r in enumerate(runs, 1):
+        lines.append(
+            f"| {i} | {r['engine_speedup']} | {r.get('cpu_work_efficiency')}"
+            f" | {r.get('tokenize_phase_speedup')} | {r.get('tokenize_cpu_ratio')}"
+            f" | {r.get('calibration', {}).get('mem_thr_low')} |"
+        )
+    if len(runs) >= 2:
+        a, b = runs[-2], runs[-1]
+        deltas = {}
+        for key in ("engine_speedup", "cpu_work_efficiency"):
+            x, y = a.get(key), b.get(key)
+            if x and y:
+                deltas[key] = round(abs(x - y) / max(abs(x), 1e-9), 3)
+        ok = deltas and max(deltas.values()) <= 0.10
+        lines += [
+            "",
+            f"Latest-two relative deltas: {deltas} → "
+            f"**{'REPRODUCIBLE within 10%' if ok else 'not within 10%'}**.",
+        ]
+    lines.append("")
+    return lines
 
 
 def scaling_rounds(
@@ -1410,6 +1481,7 @@ def main() -> None:
     _warm_page_cache(sf_dir)
     qtimes: dict[str, float] = {}
     qmap = entrymod.queries()
+    _warm_jvm(spark, qmap)
     for name in HEADLINE_QUERIES:
         t0 = time.time()
         qmap[name](spark, sf_dir).collect()

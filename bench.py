@@ -835,17 +835,23 @@ def _lowpair_history_lines(runs: list[dict]) -> list[str]:
         "",
         "One sample per bench epoch (history in BENCH/scaling_lowpair.json):",
         "",
-        "| sample | wall speedup | cpu-work eff | tokenize speedup | tokenize cpu ratio | DRAM cal GB/s |",
-        "|---|---|---|---|---|---|",
+        "| sample | rounds | wall speedup | cpu-work eff | tokenize speedup | tokenize cpu ratio | DRAM cal GB/s |",
+        "|---|---|---|---|---|---|---|",
     ]
     for i, r in enumerate(runs, 1):
         lines.append(
-            f"| {i} | {r['engine_speedup']} | {r.get('cpu_work_efficiency')}"
+            f"| {i} | {r.get('repeat', 1)} | {r['engine_speedup']}"
+            f" | {r.get('cpu_work_efficiency')}"
             f" | {r.get('tokenize_phase_speedup')} | {r.get('tokenize_cpu_ratio')}"
             f" | {r.get('calibration', {}).get('mem_thr_low')} |"
         )
-    if len(runs) >= 2:
-        a, b = runs[-2], runs[-1]
+    # reproducibility verdict over ALTERNATING-ROUND samples (repeat>1):
+    # a single-pair sample spans one hypervisor drift window and is
+    # drift-prone by construction (sample 2's 9× calibration swing), so
+    # it is shown above but doesn't decide the verdict
+    multi = [r for r in runs if r.get("repeat", 1) > 1] or runs
+    if len(multi) >= 2:
+        a, b = multi[-2], multi[-1]
         deltas = {}
         for key in ("engine_speedup", "cpu_work_efficiency"):
             x, y = a.get(key), b.get(key)
@@ -863,7 +869,9 @@ def _lowpair_history_lines(runs: list[dict]) -> list[str]:
             "HEADLINE metric = CPU-work efficiency (steal- and "
             "epoch-robust; wall speedup is reported but rides the "
             "hypervisor's minute-scale throttle).  Latest-two relative "
-            f"deltas: cpu_work_efficiency {ce_d} → "
+            "deltas (alternating-round samples only — single-pair samples "
+            "span one drift window and don't decide the verdict): "
+            f"cpu_work_efficiency {ce_d} → "
             f"**{'REPRODUCIBLE within 10%' if ce_ok else 'not within 10%'}**"
             f"; wall engine_speedup {deltas.get('engine_speedup')} "
             "(epoch-dependent, disclosed).  All-sample medians: CPU-work "
@@ -1596,7 +1604,10 @@ def main() -> None:
     # --- 4b. 2→8-core pair (engine scaling inside the box's physical
     # envelope) — runs when the epoch left room in the budget; otherwise
     # BASELINE.md renders the committed BENCH/scaling_lowpair.json ---------
-    if budget_left() > 420:
+    if budget_left() > 700:
+        result["lowpair_scaling"] = lowpair_scaling(repeat=2)
+        emit("lowpair_scaling")
+    elif budget_left() > 420:
         result["lowpair_scaling"] = lowpair_scaling()
         emit("lowpair_scaling")
     else:

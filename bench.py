@@ -891,12 +891,22 @@ def scaling_rounds(
     the interleaved epoch-forensic protocol).
 
     Each ROUND runs, back-to-back inside one hypervisor epoch: a CPU+DRAM
-    calibration, then classic → pipelined → auto builds at BOTH core
-    counts.  The classic builds seed the auto dispatcher's sidecar with
-    their phase split AND the pipelined builds seed their measured walls,
-    so the auto builds dispatch by comparing same-epoch measured walls
-    (basis=measured_both) — the r4 failure mode (model-constant dispatch
-    off a thin margin) is structurally gone.
+    calibration, then a classic → pipelined → auto TRIPLET at the low
+    core count, then the same triplet at the high count.  The classic
+    builds seed the auto dispatcher's sidecar with their phase split AND
+    the pipelined builds seed their measured walls, so the auto builds
+    dispatch by comparing same-epoch measured walls (basis=measured_both)
+    — the r4 failure mode (model-constant dispatch off a thin margin) is
+    structurally gone.  Grouping by core count (r5) keeps each auto build
+    within ~2 builds of its OWN comparators: the graded auto-vs-fixed
+    check is within-core-count, and the old ordering (all three
+    strategies at low, then all at high) ran auto 4 builds after its
+    classic comparator — runs 2 and 3 show auto eating the degraded
+    epoch tail (auto_high cpu 6447 vs classic 3707 in run 3) with zero
+    intrinsic overhead when adjacency holds (run 1: auto cpu BELOW the
+    fixed strategy it dispatched).  The N→4N ratio spans the triplet
+    boundary either way; its headline metric (CPU-work) is
+    steal-insensitive by construction.
 
     HEADLINE (VERDICT r4 item 3): wall-clock scaling on this box is
     bimodal-epoch-noise three rounds running, so the headline scaling
@@ -918,28 +928,19 @@ def scaling_rounds(
     rounds: list[dict] = []
     for _ in range(repeat):
         row: dict = {"calibration": calibrate(low, high)}
-        row["classic_low"] = time_index_build(
-            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "classic"
-        )
-        row["classic_high"] = time_index_build(
-            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "classic"
-        )
-        _seed_auto_metrics(mpath, row["classic_low"], "classic")
-        _seed_auto_metrics(mpath, row["classic_high"], "classic")
-        row["pipelined_low"] = time_index_build(
-            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "pipelined"
-        )
-        row["pipelined_high"] = time_index_build(
-            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "pipelined"
-        )
-        _seed_auto_metrics(mpath, row["pipelined_low"], "pipelined")
-        _seed_auto_metrics(mpath, row["pipelined_high"], "pipelined")
-        row["auto_low"] = time_index_build(
-            low, corpus_path, f"{CORPUS_CACHE}/idx_low", "auto", mpath
-        )
-        row["auto_high"] = time_index_build(
-            high, corpus_path, f"{CORPUS_CACHE}/idx_high", "auto", mpath
-        )
+        for lvl, cores in (("low", low), ("high", high)):
+            idx_dir = f"{CORPUS_CACHE}/idx_{lvl}"
+            row[f"classic_{lvl}"] = time_index_build(
+                cores, corpus_path, idx_dir, "classic"
+            )
+            _seed_auto_metrics(mpath, row[f"classic_{lvl}"], "classic")
+            row[f"pipelined_{lvl}"] = time_index_build(
+                cores, corpus_path, idx_dir, "pipelined"
+            )
+            _seed_auto_metrics(mpath, row[f"pipelined_{lvl}"], "pipelined")
+            row[f"auto_{lvl}"] = time_index_build(
+                cores, corpus_path, idx_dir, "auto", mpath
+            )
         rounds.append(row)
 
     # --- epoch gate (meaningful at repeat>1; trivially accepts 1 round) ----
@@ -1303,8 +1304,12 @@ def render_baseline_md(result: dict, n_bench_docs: int, sf_dir: str) -> str:
             "### Protocol",
             "",
             f"{scaling['repeat']} round(s); each round runs a CPU+DRAM "
-            "calibration, then classic → pipelined → auto builds at BOTH "
-            "core counts back-to-back inside one hypervisor epoch.  The "
+            "calibration, then a classic → pipelined → auto TRIPLET per "
+            "core count (low first, then high) back-to-back inside one "
+            "hypervisor epoch — grouping by core count keeps each auto "
+            "build adjacent to the fixed strategies it is graded against, "
+            "so minute-scale epoch drift cannot masquerade as dispatcher "
+            "overhead (runs 2-3 artifact under the old ordering).  The "
             "classic builds seed the auto dispatcher's sidecar with their "
             "phase split and the pipelined builds seed their measured "
             "walls, so each auto build dispatches by comparing SAME-EPOCH "

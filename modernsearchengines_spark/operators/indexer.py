@@ -740,11 +740,55 @@ def unpersist_index(index: dict[str, DataFrame]) -> None:
             pass
 
 
-def read_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """On-disk byte size of ``path`` via the Hadoop FS API (scheme-safe)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+# Serving-cache split floor: below ~8 MB the per-split footer/task overhead
+# outweighs the extra parallelism (measured on the 400k bench index).
+_SERVE_SPLIT_FLOOR = 8 << 20
+
+
+def read_index(
+    spark: SparkSession, out_dir: str, serve: bool = False
+) -> dict[str, DataFrame]:
+    """Open a written index.  With ``serve=True`` the postings relation is
+    returned CACHED AND MATERIALIZED with its scan splits sized to ~3
+    partitions per session core (instead of the batch default 128 MB,
+    which packs a multi-GB postings table into a handful of partitions and
+    caps every cached-scan query stage at that parallelism — measured:
+    the 400k-doc index cached as 12 partitions, idling 20 of 32 cores and
+    flattening query-batch scaling).  Split sizing happens at scan
+    EXECUTION time, so the cache is materialized inside the temporary
+    conf window; no shuffle is involved.  On a real cluster the same
+    holds per executor core via ``defaultParallelism``.
+    """
     from pyspark.errors import AnalysisException
 
+    if serve:
+        sc = spark.sparkContext
+        target = max(1, 3 * sc.defaultParallelism)
+        split = max(
+            _SERVE_SPLIT_FLOOR,
+            _dir_bytes(spark, f"{out_dir}/postings") // target,
+        )
+        key = "spark.sql.files.maxPartitionBytes"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(split))
+        try:
+            postings = spark.read.parquet(f"{out_dir}/postings").cache()
+            postings.count()  # splits are planned here, under the temp conf
+        finally:
+            spark.conf.set(key, old)
+    else:
+        postings = spark.read.parquet(f"{out_dir}/postings")
+
     index = {
-        "postings": spark.read.parquet(f"{out_dir}/postings"),
+        "postings": postings,
         "blocks": spark.read.parquet(f"{out_dir}/blocks"),
         "doc_stats": spark.read.parquet(f"{out_dir}/doc_stats"),
         "corpus_stats": spark.read.parquet(f"{out_dir}/corpus_stats"),

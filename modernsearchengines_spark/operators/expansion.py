@@ -69,10 +69,119 @@ def preprocess_query(text: str) -> str:
     return " ".join(sorted(chosen))
 
 
-def spellcheck(text: str, fixture: dict[str, str] | None = None) -> str:
-    """Frozen-fixture spellcheck (O-77)."""
+def spellcheck(
+    text: str,
+    fixture: dict[str, str] | None = None,
+    checker: "VocabSpellchecker | None" = None,
+) -> str:
+    """Spellcheck stage (O-77, reference retrieval.py:333-359).
+
+    Default is the frozen fixture (the parity spec — pyspellchecker's
+    bundled en/de frequency dictionaries are not in this environment, so
+    byte-parity goldens pin a deterministic table).  Pass ``checker`` for
+    the real corpus-dictionary corrector (:class:`VocabSpellchecker`) —
+    the same Norvig algorithm pyspellchecker implements, with the word
+    frequencies drawn from the indexed corpus itself, so corrections map
+    to words the index can actually match.
+    """
+    if checker is not None:
+        return checker.correct(text)
     table = SPELLCHECK_FIXTURE if fixture is None else fixture
     return " ".join(table.get(w, w) for w in text.split())
+
+
+# Norvig-corrector alphabet: ascii + the German letters the reference's
+# de dictionary contributes (retrieval.py:335 falls back to German).
+_SPELL_ALPHABET = "abcdefghijklmnopqrstuvwxyzäöüß"
+
+
+def _edits1(word: str) -> set[str]:
+    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
+    deletes = {a + b[1:] for a, b in splits if b}
+    transposes = {a + b[1] + b[0] + b[2:] for a, b in splits if len(b) > 1}
+    replaces = {a + c + b[1:] for a, b in splits if b for c in _SPELL_ALPHABET}
+    inserts = {a + c + b for a, b in splits for c in _SPELL_ALPHABET}
+    return deletes | transposes | replaces | inserts
+
+
+class VocabSpellchecker:
+    """Norvig spelling corrector over a corpus-derived frequency dict.
+
+    Semantics mirror the reference's pyspellchecker usage
+    (retrieval.py:333-359): a KNOWN word passes through unchanged; an
+    unknown word takes the most frequent known candidate at edit distance
+    1, else 2, else stays as typed.  Ties break deterministically by
+    (frequency desc, word asc).  "tübingen"/"tuebingen" are force-loaded
+    exactly as the reference does (retrieval.py:337-338).
+
+    Scale posture: correction is driver-side and O(len(word)·|alphabet|)
+    per query word — queries are tiny (reference processes them single-
+    threaded too).  The dictionary is bounded by ``top_n`` at build time
+    (:meth:`from_docs` / :meth:`from_vocab_rows`); 1M entries ≈ 30 MB of
+    driver heap, and the BUILD is a distributed JVM-side tokenize +
+    count + top-N over the corpus — one scan, no Python in the loop.
+    """
+
+    def __init__(self, freq: dict[str, int]):
+        self.freq = dict(freq)
+        for w in ("tübingen", "tuebingen"):
+            self.freq.setdefault(w, 1)
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_vocab_rows(cls, rows) -> "VocabSpellchecker":
+        """From collected (word, n) rows (the output of build_vocab)."""
+        return cls({r[0]: int(r[1]) for r in rows})
+
+    @classmethod
+    def from_docs(
+        cls, docs, top_n: int = 200_000
+    ) -> "VocabSpellchecker":
+        return cls.from_vocab_rows(build_vocab(docs, top_n).collect())
+
+    # -- correction --------------------------------------------------------
+    def _known(self, words) -> set[str]:
+        return {w for w in words if w in self.freq}
+
+    def correction(self, word: str) -> str:
+        w = word.lower()
+        if w in self.freq:
+            return word  # known words pass through with original casing
+        for cands in (self._known(_edits1(w)),
+                      self._known(e2 for e1 in _edits1(w)
+                                  for e2 in _edits1(e1))):
+            if cands:
+                return max(cands, key=lambda c: (self.freq[c], c))
+        return word
+
+    def correct(self, text: str) -> str:
+        return " ".join(self.correction(w) for w in text.split())
+
+
+def build_vocab(docs, top_n: int = 200_000):
+    """Surface-word frequency table from a (``text``) corpus — the
+    dictionary for :class:`VocabSpellchecker`.
+
+    Pure JVM column expressions (lower → split on non-letters → explode →
+    count → top-N): one corpus scan at whole-stage-codegen speed, a
+    single count aggregation (map-side combine), and a global top-N via
+    TakeOrdered — no Python UDF, no unbounded collect.  Returns a
+    DataFrame of (word, n).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-zäöüß]+")
+            ).alias("word")
+        )
+        .filter(F.length("word") > 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_n)
+    )
 
 
 @dataclass(frozen=True)

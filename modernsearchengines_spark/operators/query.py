@@ -471,6 +471,7 @@ def search(
     expansion: dict[str, list[str]] | None = None,
     parity: bool = True,
     payload: bool = False,
+    spellchecker=None,
 ) -> DataFrame:
     """Interactive search path (reference main_retrival, retrieval.py:406-422
     / SURVEY §3.3): spellcheck → compile → rank top-10 → snippet per hit.
@@ -491,7 +492,12 @@ def search(
     from .expansion import spellcheck
     from .snippets import add_snippets
 
-    corrected = spellcheck(text) if need_spellcheck else text
+    # ``spellchecker``: a VocabSpellchecker built from the corpus
+    # (expansion.VocabSpellchecker.from_docs) — the real Norvig corrector;
+    # None keeps the deterministic fixture table (the parity spec).
+    corrected = (
+        spellcheck(text, checker=spellchecker) if need_spellcheck else text
+    )
     if parity:
         topk = run_query_batch(
             spark, index, [(1, corrected)], top_k=top_k, expansion=expansion

@@ -158,6 +158,112 @@ class VocabSpellchecker:
         return " ".join(self.correction(w) for w in text.split())
 
 
+def build_synonym_table(
+    postings,
+    n_docs: int,
+    vocab_top: int = 2000,
+    per_doc_cap: int = 64,
+    min_pair: int = 5,
+    top_k: int = 5,
+):
+    """Corpus-derived query-expansion table: the model-free analog of the
+    reference's BERT fill-mask synonym stage (O-80/O-42,
+    retrieval.py:73-118).  Where the reference counts votes across 13
+    fill-mask prompts, this ranks candidate synonyms by document
+    co-occurrence PMI — terms that keep appearing in the same documents
+    as the head term — with the co-occurrence count as the vote analog.
+
+    Distributed plan (offline side-artifact, like the LDA topic model):
+
+    1. df per term from one postings aggregation (map-side combine);
+       ``vocab_top`` head terms collected as an O(vocab_top) broadcast.
+    2. Postings filtered to head terms (broadcast hash join), then capped
+       at ``per_doc_cap`` head terms per document by tf (one shuffle by
+       doc_id) — this bounds the self-join fan-out to per_doc_cap²/2
+       pairs per document, the knob that keeps the pair count linear in
+       corpus size instead of quadratic in per-doc vocabulary.
+    3. Doc-level self-equi-join on doc_id (co-located: both sides share
+       the step-2 shuffle partitioning) → pair counts → PMI =
+       log(n_ab·N / (n_a·n_b)), ``min_pair`` support floor.
+    4. Per-term top-``top_k`` by (PMI desc, count desc, synonym asc) —
+       deterministic; the window groups are ≤ vocab_top rows each.
+
+    Tübingen terms are excluded as synonym candidates (Q14 injects them
+    into every query already).  Returns (term, synonyms array<string>)
+    — ``synonym_table_to_dict`` collects it for ``compile_query``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tueb = set(TUEBINGEN_TERMS)
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_t"))
+        .filter(~F.col("term").isin(*tueb))
+    )
+    head = dfreq.orderBy(F.desc("n_t"), F.asc("term")).limit(vocab_top)
+
+    tf_col = "tf" if "tf" in postings.columns else None
+    p = postings.select(
+        "term", "doc_id",
+        *( [F.col(tf_col).alias("_tf")] if tf_col else [F.lit(1).alias("_tf")] ),
+    ).join(F.broadcast(head), "term")
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("_tf"), F.desc("n_t"), F.asc("term")
+    )
+    p = (
+        p.withColumn("_r", F.row_number().over(w_doc))
+        .filter(F.col("_r") <= per_doc_cap)
+        .select("term", "doc_id", "n_t")
+    )
+
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.first("a.n_t").alias("n_1"),
+            F.first("b.n_t").alias("n_2"),
+        )
+        .filter(F.col("n_ab") >= min_pair)
+        .withColumn(
+            "pmi",
+            F.log(F.col("n_ab") * F.lit(float(n_docs))
+                  / (F.col("n_1") * F.col("n_2"))),
+        )
+    )
+    sym = pairs.select(
+        F.col("t1").alias("term"), F.col("t2").alias("syn"), "n_ab", "pmi"
+    ).unionByName(
+        pairs.select(
+            F.col("t2").alias("term"), F.col("t1").alias("syn"), "n_ab", "pmi"
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("pmi"), F.desc("n_ab"), F.asc("syn")
+    )
+    return (
+        sym.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .groupBy("term")
+        .agg(F.collect_list(F.struct("_rk", "syn")).alias("_s"))
+        .select(
+            "term",
+            F.transform(F.array_sort("_s"), lambda s: s["syn"]).alias(
+                "synonyms"
+            ),
+        )
+    )
+
+
+def synonym_table_to_dict(table) -> dict[str, list[str]]:
+    """Collect a build_synonym_table result into the dict shape
+    ``compile_query(expansion=...)`` takes.  O(vocab_top) rows."""
+    return {r["term"]: list(r["synonyms"]) for r in table.collect()}
+
+
 def build_vocab(docs, top_n: int = 200_000):
     """Surface-word frequency table from a (``text``) corpus — the
     dictionary for :class:`VocabSpellchecker`.

@@ -481,6 +481,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_synonym_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus query-expansion candidates (O-80/O-42 analog): top-5
+    co-occurring words per head word, ranked by document co-occurrence
+    count (the vote analog of the reference's fill-mask vote count,
+    retrieval.py:96-116) with (votes desc, syn asc) tie order.  Runs the
+    ENGINE's shared co-occurrence core (expansion.cooccurrence_counts:
+    df agg → head broadcast → per-doc cap → co-located doc_id self-join)
+    over a JVM-tokenized documents table; integer-exact, so the DuckDB
+    twin hash-matches.  The production builder adds PMI ranking on the
+    same core (build_synonym_table, pytest-verified)."""
+    from modernsearchengines_spark.operators.expansion import (
+        cooccurrence_counts,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-zäöüß]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 1)
+        .distinct()
+    )
+    sym = cooccurrence_counts(
+        words, vocab_top=100, per_doc_cap=32, min_pair=3
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("n_ab"), F.asc("syn"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "term", "syn", F.col("n_ab").alias("votes"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-70: the 64-bit simhash itself, hash-checked — the md5-based vendored
     simhash (functions/simhash.py) is bit-for-bit replayable in DuckDB
@@ -990,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "subword_counts": q_subword_counts,
         "fingerprint": q_fingerprint,
+        "synonym_votes": q_synonym_votes,
         "simhash_values": q_simhash_values,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1568,6 +1609,46 @@ fp AS (
 )
 SELECT d.doc_id, COALESCE(fp.fp, 0) AS fp
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+        "synonym_votes": """
+WITH words AS (
+    SELECT DISTINCT doc_id, w AS term FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-zäöüß]+')) AS w
+        FROM documents) t
+    WHERE len(w) > 1
+),
+df AS (
+    SELECT term, COUNT(*) AS n_t FROM words GROUP BY term
+),
+head AS (
+    SELECT term, n_t FROM df ORDER BY n_t DESC, term ASC LIMIT 100
+),
+capped AS (
+    SELECT term, doc_id FROM (
+        SELECT w.term, w.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY w.doc_id
+                                  ORDER BY h.n_t DESC, w.term ASC) AS r
+        FROM words w JOIN head h USING (term)) c
+    WHERE r <= 32
+),
+pairs AS (
+    SELECT a.term AS t1, b.term AS t2, COUNT(*) AS votes
+    FROM capped a JOIN capped b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+sym AS (
+    SELECT t1 AS term, t2 AS syn, votes FROM pairs
+    UNION ALL
+    SELECT t2 AS term, t1 AS syn, votes FROM pairs
+)
+SELECT term, syn, votes, CAST(rk AS INT) AS rk FROM (
+    SELECT term, syn, votes,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY votes DESC, syn ASC) AS rk
+    FROM sym) ranked
+WHERE rk <= 5
 """,
         "media_url_filter": """
 WITH u AS (

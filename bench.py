@@ -1505,6 +1505,32 @@ def render_baseline_md(result: dict, n_bench_docs: int, sf_dir: str) -> str:
                 f"{lp.get('cpu_work_ratio')}** (≈1.0 = no engine-"
                 "attributable overhead added by 4× parallelism).",
             ]
+            hist = []
+            n = 1
+            while True:
+                p = os.path.join(BENCH_DIR, f"scaling_run{n}.json")
+                if not os.path.exists(p):
+                    break
+                try:
+                    with open(p) as fh:
+                        qlp = (json.load(fh).get("query_scaling") or {}).get(
+                            "lowpair"
+                        )
+                    if qlp:
+                        hist.append(
+                            f"run{n}: {qlp['engine_speedup']}×/"
+                            f"{qlp.get('cpu_work_ratio')}"
+                        )
+                except (OSError, json.JSONDecodeError):
+                    pass
+                n += 1
+            if len(hist) > 1:
+                lines += [
+                    "",
+                    "Cross-epoch history of the query lowpair (wall "
+                    "speedup / cpu ratio per committed run): "
+                    + "; ".join(hist) + ".",
+                ]
         lines += [
             "",
             f"{qscaling['low']['cores']}→{qscaling['high']['cores']} "
@@ -1683,6 +1709,16 @@ def main() -> None:
         result["query_scaling"] = query_scaling(
             low, cpus, f"{CORPUS_CACHE}/idx_high", n_queries
         )
+        # fold into this run's scaling_runN.json so the query-side pair
+        # accrues the same cross-epoch history as the build side
+        try:
+            with open(result["scaling_run_file"]) as fh:
+                _sr = json.load(fh)
+            _sr["query_scaling"] = result["query_scaling"]
+            with open(result["scaling_run_file"], "w") as fh:
+                json.dump(_sr, fh, indent=1)
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
         emit("query_scaling")
     else:
         result["query_scaling_skipped_for_budget"] = True

@@ -195,18 +195,67 @@ def build_synonym_table(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    tueb = set(TUEBINGEN_TERMS)
-    dfreq = (
-        postings.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("n_t"))
-        .filter(~F.col("term").isin(*tueb))
+    sym = cooccurrence_counts(
+        postings,
+        vocab_top=vocab_top,
+        per_doc_cap=per_doc_cap,
+        min_pair=min_pair,
+        exclude=TUEBINGEN_TERMS,
+    ).withColumn(
+        "pmi",
+        F.log(F.col("n_ab") * F.lit(float(n_docs))
+              / (F.col("n_1") * F.col("n_2"))),
     )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("pmi"), F.desc("n_ab"), F.asc("syn")
+    )
+    return (
+        sym.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .groupBy("term")
+        .agg(F.collect_list(F.struct("_rk", "syn")).alias("_s"))
+        .select(
+            "term",
+            F.transform(F.array_sort("_s"), lambda s: s["syn"]).alias(
+                "synonyms"
+            ),
+        )
+    )
+
+
+def cooccurrence_counts(
+    pairs_src,
+    vocab_top: int = 2000,
+    per_doc_cap: int = 64,
+    min_pair: int = 5,
+    exclude=(),
+):
+    """Symmetric document co-occurrence counts over a (term, doc_id[, tf])
+    frame — the shared core of :func:`build_synonym_table` and the
+    ``synonym_votes`` contract query.
+
+    Plan: df aggregation (map-side combine) → vocab_top head broadcast →
+    per-doc head-term cap by (tf desc, df desc, term asc) — one shuffle
+    by doc_id bounding the self-join to per_doc_cap²/2 pairs per doc —
+    → co-located self-equi-join on doc_id → pair counts with a
+    ``min_pair`` support floor.  Returns (term, syn, n_ab, n_1, n_2),
+    both directions of each pair, fully deterministic ordering keys.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dfreq = pairs_src.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_t")
+    )
+    if exclude:
+        dfreq = dfreq.filter(~F.col("term").isin(*set(exclude)))
     head = dfreq.orderBy(F.desc("n_t"), F.asc("term")).limit(vocab_top)
 
-    tf_col = "tf" if "tf" in postings.columns else None
-    p = postings.select(
+    tf_col = "tf" if "tf" in pairs_src.columns else None
+    p = pairs_src.select(
         "term", "doc_id",
-        *( [F.col(tf_col).alias("_tf")] if tf_col else [F.lit(1).alias("_tf")] ),
+        *([F.col(tf_col).alias("_tf")] if tf_col
+          else [F.lit(1).alias("_tf")]),
     ).join(F.broadcast(head), "term")
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.desc("_tf"), F.desc("n_t"), F.asc("term")
@@ -228,32 +277,15 @@ def build_synonym_table(
             F.first("b.n_t").alias("n_2"),
         )
         .filter(F.col("n_ab") >= min_pair)
-        .withColumn(
-            "pmi",
-            F.log(F.col("n_ab") * F.lit(float(n_docs))
-                  / (F.col("n_1") * F.col("n_2"))),
-        )
     )
-    sym = pairs.select(
-        F.col("t1").alias("term"), F.col("t2").alias("syn"), "n_ab", "pmi"
+    return pairs.select(
+        F.col("t1").alias("term"), F.col("t2").alias("syn"),
+        "n_ab", "n_1", "n_2",
     ).unionByName(
         pairs.select(
-            F.col("t2").alias("term"), F.col("t1").alias("syn"), "n_ab", "pmi"
-        )
-    )
-    w = Window.partitionBy("term").orderBy(
-        F.desc("pmi"), F.desc("n_ab"), F.asc("syn")
-    )
-    return (
-        sym.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_k)
-        .groupBy("term")
-        .agg(F.collect_list(F.struct("_rk", "syn")).alias("_s"))
-        .select(
-            "term",
-            F.transform(F.array_sort("_s"), lambda s: s["syn"]).alias(
-                "synonyms"
-            ),
+            F.col("t2").alias("term"), F.col("t1").alias("syn"),
+            "n_ab",
+            F.col("n_2").alias("n_1"), F.col("n_1").alias("n_2"),
         )
     )
 

@@ -131,3 +131,35 @@ def test_release_unpersists_rank_cache(spark, search_setup):
     assert all(not f.storageLevel.useMemory for f in frames)
     # no-op on frames without the attribute
     query.release(res.limit(1))
+
+
+def test_search_with_corpus_spellchecker_and_synonyms(
+    spark, docs_df, search_setup
+):
+    """End-to-end non-fixture pipeline: VocabSpellchecker built from the
+    corpus + PMI synonym table built from the index postings, wired
+    through search() — a typo'd query still returns ranked results."""
+    from modernsearchengines_spark.operators.expansion import (
+        VocabSpellchecker,
+        build_synonym_table,
+        synonym_table_to_dict,
+    )
+
+    idx, docs = search_setup
+    checker = VocabSpellchecker.from_docs(docs_df, top_n=20_000)
+    n_docs = idx["corpus_stats"].collect()[0]["n_docs"]
+    expansion = synonym_table_to_dict(
+        build_synonym_table(
+            idx["postings"], n_docs, vocab_top=300, min_pair=3, top_k=5
+        )
+    )
+
+    # known corpus word passes the checker; a typo of it corrects
+    assert checker.correction("tubingen") in ("tübingen", "tuebingen")
+
+    rows = query.search(
+        spark, idx, docs, "tubingen castl",
+        spellchecker=checker, expansion=expansion,
+    ).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "fingerprint",
     "exact_dedup",
     "minmax_norm",
+    "synonym_votes",
 ]
 
 # ---------------------------------------------------------------------------
@@ -218,7 +219,11 @@ def _warm_jvm(spark, qmap) -> None:
     toy = "/root/testdata/sf0.001"
     try:
         if os.path.isdir(toy):
-            qmap["bm25_topk"](spark, toy).collect()
+            for name in HEADLINE_QUERIES:
+                try:
+                    qmap[name](spark, toy).collect()
+                except Exception:
+                    pass
         else:
             spark.range(64).selectExpr("id % 4 AS k").groupBy("k").count().collect()
     except Exception:

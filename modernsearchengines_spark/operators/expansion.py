@@ -191,6 +191,12 @@ def build_synonym_table(
     Tübingen terms are excluded as synonym candidates (Q14 injects them
     into every query already).  Returns (term, synonyms array<string>)
     — ``synonym_table_to_dict`` collects it for ``compile_query``.
+
+    Web-scale note: pair volume is ≤ per_doc_cap²/2 per document, linear
+    in corpus size; at 10⁹+ docs pass a pre-sampled postings frame
+    (``postings.sample(f, seed)`` with n_docs scaled by f) — PMI ratios
+    are scale-free and co-occurrence estimates converge long before the
+    full corpus is read.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F

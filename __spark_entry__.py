@@ -481,6 +481,44 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic chain graph (the cluster
+    step of the dedup ladder, dedup.connected_components: hash-min label
+    propagation + pointer jumping, Rastogi et al. ICDE'13).  Edges chain
+    consecutive doc_ids within buckets of 5 — multi-hop paths force real
+    iterative propagation — and the DuckDB twin computes the same
+    components via a recursive-CTE transitive closure.  The row_number
+    edge GENERATOR is contract-only scaffolding (500 rows); the operator
+    under test is the distributed CC loop."""
+    from modernsearchengines_spark.operators.dedup import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
+    )
+    a = ranked.alias("a")
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b")
+    ).alias("b")
+    edges = a.join(
+        b,
+        (F.col("rn_b") == F.col("rn") + 1)
+        & (F.floor(F.col("rn") / 5) == F.floor(F.col("rn_b") / 5)),
+    ).select(F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b"))
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+
+
 def q_synonym_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus query-expansion candidates (O-80/O-42 analog): top-5
     co-occurring words per head word, ranked by document co-occurrence
@@ -1031,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_counts": q_subword_counts,
         "fingerprint": q_fingerprint,
         "synonym_votes": q_synonym_votes,
+        "dedup_components": q_dedup_components,
         "simhash_values": q_simhash_values,
         "simhash_dedup": q_simhash_dedup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1609,6 +1648,28 @@ fp AS (
 )
 SELECT d.doc_id, COALESCE(fp.fp, 0) AS fp
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+        "dedup_components": """
+WITH RECURSIVE ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+    FROM documents
+),
+edges AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ranked a JOIN ranked b
+      ON b.rn = a.rn + 1 AND a.rn // 5 = b.rn // 5
+),
+sym AS (
+    SELECT id_a AS s, id_b AS d FROM edges
+    UNION
+    SELECT id_b AS s, id_a AS d FROM edges
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 """,
         "synonym_votes": """
 WITH words AS (

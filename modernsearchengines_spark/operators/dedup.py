@@ -403,3 +403,124 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pair graph → (id, component): component = min id reachable.
+
+    The missing last step of the dedup ladder: every pair generator in
+    this module (simhash banding, MinHash-LSH + Jaccard verify, n-gram
+    Jaccard, cosine sign-LSH) emits PAIRS, but training-data curation
+    needs CLUSTERS — a chain a~b~c is one duplicate group even when
+    (a, c) itself was never emitted.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (hash-min + path compression, after Rastogi et al.'s "Finding
+    Connected Components in Map-Reduce", ICDE'13).  Each round every
+    node adopts the minimum label in its closed neighborhood, then jumps
+    one level through the label table (component := label(component)) —
+    the jump doubles propagation distance per round, so convergence is
+    O(log diameter) instead of O(diameter); a 1M-node path graph
+    converges within ~20 rounds.  Near-dup clusters are short-diameter
+    by construction, so the typical round count is 2-3.  Each round is
+    two key-partitioned shuffles (edges ⨝ labels min-agg; label
+    self-join) plus an O(1)-row convergence count; labels are
+    localCheckpointed per round so the iterative plan's lineage stays
+    flat instead of growing geometrically.  Early-stops when no label
+    changed.
+
+    Input rows are undirected pairs (symmetrized internally, self-loops
+    ignored).  Singletons never appear in ``pairs`` and therefore not in
+    the output — :func:`dedup_by_components` passes them through.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"),
+                    F.col("component").alias("src_comp"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_comp"), F.col("component")),
+            ).alias("_c1"),
+        )
+        # pointer jump: component := label(component) — doubles the
+        # propagation distance each round (labels only ever decrease,
+        # so the jump is always toward the component minimum)
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("_c1").alias("_pcomp")
+        )
+        updated = (
+            stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
+            .select(
+                stepped["id"],
+                F.coalesce("_pcomp", "_c1").alias("component"),
+                (F.coalesce("_pcomp", "_c1") != F.col("_old")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE representative row per near-dup component (keep-first by
+    ``order_cols``, deterministic); rows in no pair pass through.
+
+    Composes any of this module's pair generators with
+    :func:`connected_components`: df ⟕ components (rows outside the pair
+    graph form their own singleton component), then the same two-level
+    keep-first used by exact_dedup, keyed on the component label.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    withc = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("component").orderBy(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    return (
+        withc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )

@@ -1290,13 +1290,32 @@ def _repro_section(scaling: dict) -> list[str]:
     # mode harder because they always run both phases in full.
     auto_rel = rel[2]
     ok = auto_rel is not None and auto_rel <= 0.10
+    cals = [
+        s.get("calibration_medians", {}).get("mem_thr_low")
+        for _, s in runs[-2:]
+    ]
+    mode_mismatch = (
+        None not in cals
+        and min(cals) > 0
+        and max(cals) / min(cals) > 2.0
+    )
+    verdict = "REPRODUCIBLE within 10%" if ok else "NOT yet within 10%"
+    note = (
+        "  The two runs landed in different DRAM modes "
+        f"(calibrations {cals} GB/s) — this bus-saturated pair tracks "
+        "the epoch, so its run-to-run delta measures the hypervisor; "
+        "the 2→8 lowpair section below carries the engine's "
+        "reproducibility verdict."
+        if mode_mismatch and not ok
+        else ""
+    )
     lines += [
         "",
         f"Latest two runs' relative deltas (classic/pipelined/auto): {rel} "
         f"→ headline (auto) delta {auto_rel} — "
-        f"**{'REPRODUCIBLE within 10%' if ok else 'NOT yet within 10%'}** "
+        f"**{verdict}** "
         "(verdict gates on the auto strategy, the eff_cpu the compact "
-        "artifact reports; all three deltas disclosed).",
+        f"artifact reports; all three deltas disclosed).{note}",
         "",
     ]
     return lines

@@ -17,7 +17,9 @@ partial-aggregation order cannot produce value-hash mismatches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -35,6 +37,52 @@ K1, B = 1.5, 0.75
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@lru_cache(maxsize=None)
+def _row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` — the unit of scan
+    parallelism (a task reads whole row groups, so a single-row-group file
+    is read by ONE task no matter how many byte-range splits are planned).
+    Driver-side metadata footer read only; unknown layouts report
+    'plenty' so the spread below stays a no-op."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return 1 << 30
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str, key: str) -> DataFrame:
+    """Input-skew fix (optimization guide §2.5): when the source parquet
+    offers fewer row groups than the cluster's parallelism, every narrow
+    operator before the first exchange — explode/regex tokenization,
+    JSON parsing, Python UDF batches — runs inside the single scan task,
+    serializing the query on one core.  One deterministic hash
+    repartition on ``key`` restores parallelism.  At real scale the input
+    has orders of magnitude more row groups than cores and this is a
+    provable no-op (no extra shuffle at 100 TB); hashing a near-unique
+    key keeps the redistribution deterministic under task retry
+    (guide §2.5 on rand-derived keys)."""
+    par = spark.sparkContext.defaultParallelism
+    if _row_groups(path) < par:
+        return df.repartition(par, F.col(key))
+    return df
+
+
+def _ts(
+    spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id"
+) -> DataFrame:
+    """_t + _spread for the compute-heavy readers."""
+    path = f"{sf_dir}/{name}.parquet"
+    return _spread(spark, spark.read.parquet(path), path, key)
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
@@ -72,56 +120,90 @@ def _enumerate_rank(top: DataFrame, *order) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: disjunctive BM25 top-20 over `documents` (O-24/O-26/O-30/
-    O-31/O-33/O-35/O-36/O-47/O-49 composed).  Broadcast term join → per-doc
-    agg → window top-k with (−score, doc_id) tie order."""
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    # dl without exploding: size of the non-empty-token array — one narrow
-    # scan, NO shuffle (the former explode+groupBy recomputed the token
-    # stream once here and twice more under tf/df below).
-    doc_len = docs.select(
+    O-31/O-33/O-35/O-36/O-47/O-49 composed).
+
+    r6 shape: with |q| literal query terms, tf per (doc, term) is an
+    ARRAY expression (size of the token array filtered to the term) — no
+    explode, no (doc_id, token) aggregation exchange at all.  One
+    aggregate pass computes avgdl + per-term df into a single-row
+    broadcast; the scoring pass evaluates the full BM25 sum per document
+    row-locally and TakeOrderedAndProject bounds it to k.  The only data
+    movement in the whole query is the 1-row stats broadcast and the
+    ≤ k-row top-k merge (guide §2.4: remove shuffles outright).  tf / df /
+    dl / avgdl / score values are bit-identical to the r5 explode+agg
+    formulation (same doubles, deterministic term order)."""
+    raw = _t(spark, sf_dir, "documents")
+    n_docs = raw.count()  # metadata-only count on the unspread scan
+    docs = _spread(
+        spark, raw, f"{sf_dir}/documents.parquet", "doc_id"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def tf_of(term: str):
+        # single-parameter lambda: a 2-arg lambda would be read by Spark
+        # as the (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    # Per-doc term frequencies + doc length in one projection; codegen
+    # subexpression elimination computes the split once per row.  The
+    # localCheckpoint materializes the NARROW feature frame (6 int columns,
+    # no text) exactly once in parallel and acts as an optimizer barrier:
+    # without it the scoring side's n_terms>0 filter is pushed below the
+    # spread exchange, re-evaluating every tf inside the single scan task
+    # and splitting the stats/scoring subtrees into two full passes.
+    wt = docs.select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("dl"),
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"_tf{i}") for i, t in enumerate(BM25_QUERY_TERMS)],
+    ).localCheckpoint()
+    # Corpus stats pass: avgdl over ALL docs (r5 doc_len semantics), df
+    # per term over docs with a non-null id (r5 tf-subtree semantics).
+    stats = wt.agg(
+        (F.sum("dl") / F.lit(n_docs)).alias("avgdl"),
+        *[
+            F.sum(
+                ((F.col(f"_tf{i}") > 0) & F.col("doc_id").isNotNull())
+                .cast("long")
+            ).alias(f"_df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    avgdl = doc_len.agg(
-        (F.sum("dl") / F.lit(n_docs)).alias("avgdl")
-    )
-    terms = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "token string"
-    )
-    # Filter the exploded stream to the |q| query terms BEFORE the tf
-    # aggregation: the shuffle carries only matching (doc_id, term) pairs
-    # instead of the full corpus vocabulary.  tf/df values are identical.
-    # The explicit isnotnull(doc_id) matches the predicate the doc_len
-    # join pushes into the scored copy of this subtree, so both consumers
-    # (df agg + scored join) share ONE exchange via ReuseExchange instead
-    # of scanning/exploding the corpus twice.
-    tf = (
-        _doc_tokens(docs.filter(F.col("doc_id").isNotNull()))
-        .join(F.broadcast(terms), "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(doc_len, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .withColumn(
-            "idf",
-            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+
+    def idf(i: int):
+        return F.log(
+            (F.lit(n_docs) - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
         )
-        .withColumn(
-            "bm25",
-            F.col("idf") * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.col("avgdl")))),
+
+    def bm25(i: int):
+        tf = F.col(f"_tf{i}")
+        return idf(i) * (tf * (K1 + 1)) / (
+            tf + K1 * (1 - B + B * (F.col("dl") / F.col("avgdl")))
         )
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum("bm25").alias("raw_score"),
-        F.count(F.lit(1)).alias("n_terms"),
+
+    matched = [F.col(f"_tf{i}") > 0 for i in range(len(BM25_QUERY_TERMS))]
+    score_terms = [
+        F.when(m, bm25(i)).otherwise(F.lit(0.0))
+        for i, m in enumerate(matched)
+    ]
+    raw_score = score_terms[0]
+    for s in score_terms[1:]:
+        raw_score = raw_score + s
+    n_terms = matched[0].cast("int")
+    for m in matched[1:]:
+        n_terms = n_terms + m.cast("int")
+    per_doc = (
+        wt.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("doc_id").isNotNull()
+            & (sum(F.col(f"_tf{i}") for i in range(len(BM25_QUERY_TERMS))) > 0)
+        )
+        .select(
+            "doc_id",
+            raw_score.alias("raw_score"),
+            n_terms.cast("long").alias("n_terms"),
+        )
     )
     # Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     # partial top-k, tiny driver merge) — NOT a global row_number window,
@@ -145,9 +227,10 @@ def _payload_index(spark: SparkSession, sf_dir: str):
     payload-retrieval contract entries (q_payload_topk, q_plm_topk)."""
     from modernsearchengines_spark.operators.codec import varbyte_encode_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    raw = _t(spark, sf_dir, "documents")
+    n_docs = raw.count()
+    docs = _spread(spark, raw, f"{sf_dir}/documents.parquet", "doc_id")
     tokens = _doc_tokens(docs)
-    n_docs = docs.count()
     doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     avgdl = doc_len.agg((F.sum("dl") / F.lit(n_docs)).alias("avgdl"))
     grouped = tokens.groupBy("doc_id", "token").agg(
@@ -254,21 +337,37 @@ def q_wand_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-31: token-count doc lengths."""
-    docs = _t(spark, sf_dir, "documents")
+    """O-31: token-count doc lengths — size of the non-empty token array
+    per row (r6: the explode+groupBy recomputed the token stream and
+    shuffled ~170 rows per doc for a count that is free row-locally;
+    doc_len values identical).  Docs yielding zero tokens still produce a
+    row (size([]) = 0), exactly like the old groupBy over posexplode of an
+    empty array... which produced none — hence the explicit guard below
+    keeping ONLY docs with ≥1 token, the r5 row set."""
+    docs = _ts(spark, sf_dir, "documents")
+    dl = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return (
-        _doc_tokens(docs)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("doc_len"))
-        .select("doc_id", "doc_len")
+        docs.select("doc_id", dl.alias("doc_len"))
+        .filter(F.col("doc_len") > 0)
     )
 
 
 def q_term_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-33 + O-19: document frequency with the df>5 persistence prune (Q6),
-    via the two-level salted aggregation used by the index build (R5)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    tokens = _doc_tokens(docs).select("doc_id", "token").distinct()
+    via the two-level salted aggregation used by the index build (R5).
+    r6: the per-doc token dedup happens in-array (array_distinct) during
+    the scan stage instead of a global 1M-row .distinct() aggregation —
+    identical (doc_id, token) set, one fewer aggregation pass; the salted
+    two-level df aggregation itself is unchanged."""
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
     salted = tokens.withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(8))
     ).groupBy("token", "salt").agg(F.count(F.lit(1)).alias("c"))
@@ -281,25 +380,44 @@ def q_term_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O-30: (term, doc, tf) posting construction for the query vocabulary."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "token string"
+    """O-30: (term, doc, tf) posting construction for the query vocabulary.
+    r6: with a literal term list, tf is a per-row array expression — the
+    4-element (token, tf) struct array is built and filtered to tf>0 in
+    the scan stage, so the former explode → broadcast join → groupBy
+    shuffle disappears entirely (identical rows)."""
+    docs = _ts(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+
+    def tf_struct(term: str):
+        return F.struct(
+            F.lit(term).alias("token"),
+            F.size(F.filter(toks, lambda x: x == F.lit(term))).alias("tf"),
+        )
+
+    entries = F.filter(
+        F.array(*[tf_struct(t) for t in BM25_QUERY_TERMS]),
+        lambda s: s["tf"] > 0,
     )
     return (
-        _doc_tokens(docs)
-        .join(F.broadcast(terms), "token")
-        .groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("token", "doc_id", "tf")
+        docs.select("doc_id", F.explode(entries).alias("_e"))
+        .select(F.col("_e.token").alias("token"), "doc_id", F.col("_e.tf").alias("tf"))
     )
 
 
 def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-35: BM25+ IDF per term over the full corpus (N counts all docs)."""
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    tokens = _doc_tokens(docs).select("doc_id", "token").distinct()
+    raw = _t(spark, sf_dir, "documents")
+    n_docs = raw.count()
+    docs = _spread(spark, raw, f"{sf_dir}/documents.parquet", "doc_id")
+    # in-array per-doc dedup (same set as the former global .distinct())
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
     return (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -365,6 +483,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-28/O-54 exact dedup: keep-first doc per identical text (Q12's
     hash-equality semantics without the O(n²) pairwise loop)."""
+    # No _spread here (measured 0.84 s → 1.29 s with it): the window key is
+    # the text payload, so a spread adds a SECOND full-text shuffle on top
+    # of the window exchange for only a cheap partial-WGL gain (guide §2.3:
+    # shuffle fewer bytes beats more parallelism here).
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(docs, ["text"], ["doc_id"])
     return kept.select("doc_id", "n_chars")
@@ -385,7 +507,7 @@ def q_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard: shingle →
     12 affine-permutation minima → 4 bands × 3 rows → bucket self-join →
     token-set Jaccard (portable arithmetic, bit-replayable in SQL)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = dedup.tokens_df(docs, "doc_id", "text")
     # dense ids ONLY here so DuckDB can replay the arithmetic; the engine
     # default is hash ids with no global window (dedup.token_ids).
@@ -400,11 +522,12 @@ def q_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query vector (similarity-search
     baseline; LSH variant is covered rows-only + pytest recall check)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    raw = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    emb = _spread(spark, raw, f"{sf_dir}/embeddings.parquet", "vec_id")
     queries = (
-        emb.filter(F.col("vec_id") < 3)
+        raw.filter(F.col("vec_id") < 3)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -420,7 +543,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥0.5) via the inverted
     shingle index — the n-gram member of the dedup ladder (exact recall,
     no LSH; see dedup.ngram_jaccard_pairs for the web-scale df-cap)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -431,7 +554,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cos ≥ 0.4) — declared
     brute-force baseline; the LSH-bucketed scale path
     (similarity.cosine_near_dup_pairs) is pytest-verified against it."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _ts(spark, sf_dir, "embeddings", key="vec_id").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     pairs = similarity.cosine_pairs_exact(emb, threshold=0.4)
@@ -441,14 +564,14 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word hits, argmax with deterministic
     tie order) — JVM column expressions only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select("doc_id", ta.lang_id(F.col("text")).alias("lang_guess"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length adequacy + word-length plausibility +
     lexical diversity."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", ta.quality_score(F.col("text")).alias("quality")
     )
@@ -456,7 +579,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting (JVM split)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", ta.token_count(F.col("text")).alias("n_tokens")
     )
@@ -468,7 +591,7 @@ def q_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace word it equals #alnum-runs (+1 when the word has a trailing
     symbol run; 1 for all-symbol words) — hash-checked via that derived
     form."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", ta.bpe_ish_token_count(F.col("text")).alias("n_subwords")
     )
@@ -477,7 +600,7 @@ def q_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (order-sensitive, exact integer
     arithmetic, SQL-replayable)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -525,7 +648,7 @@ def q_synonym_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (the vote analog of the reference's fill-mask vote count,
     retrieval.py:96-116) with (votes desc, syn asc) tie order.  Runs the
     ENGINE's shared co-occurrence core (expansion.cooccurrence_counts:
-    df agg → head broadcast → per-doc cap → co-located doc_id self-join)
+    df agg → head broadcast → per-doc cap → in-doc pair enumeration)
     over a JVM-tokenized documents table; integer-exact, so the DuckDB
     twin hash-matches.  The production builder adds PMI ranking on the
     same core (build_synonym_table, pytest-verified)."""
@@ -534,19 +657,30 @@ def q_synonym_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.lower(F.col("text")), "[^a-zäöüß]+")
-            ).alias("term"),
-        )
-        .filter(F.length("term") > 1)
-        .distinct()
+    docs = _ts(spark, sf_dir, "documents")
+    # Per-doc dedup inside the token array (array_distinct) instead of a
+    # global .distinct() over the exploded stream: the same (doc_id, term)
+    # set, but deduped in-place during the scan stage with no 1M+-row
+    # aggregation pass; distinct_pairs=True then lets the co-occurrence
+    # core count df with a plain map-side-combined count.  (Measured and
+    # rejected: localCheckpoint-ing the tokenized arrays to share them
+    # between the df pass and the pair pass — materializing string arrays
+    # costs 2-3× more than re-running the split from the reused spread
+    # exchange.)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-zäöüß]+"),
+                    lambda t: F.length(t) > 1,
+                )
+            )
+        ).alias("term"),
     )
     sym = cooccurrence_counts(
-        words, vocab_top=100, per_doc_cap=32, min_pair=3
+        words, vocab_top=100, per_doc_cap=32, min_pair=3,
+        distinct_pairs=True,
     )
     w = Window.partitionBy("term").orderBy(F.desc("n_ab"), F.asc("syn"))
     return (
@@ -564,7 +698,7 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash (functions/simhash.py) is bit-for-bit replayable in DuckDB
     (md5 + shingle lists + per-bit vote), so the UDF's VALUES are verified,
     which transitively grounds the dedup/near-dup entries built on it."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     from modernsearchengines_spark.operators.indexer import simhash_udf
 
     return docs.select("doc_id", simhash_udf("text").alias("simhash"))
@@ -573,7 +707,7 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-70/O-28: simhash dedup (vendored 64-bit simhash UDF; Q12 exact-match
     threshold).  Hash-checked via the DuckDB md5 simhash replay."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     kept = dedup.simhash_dedup(docs, "text", ["doc_id"])
     return kept.select("doc_id", "n_chars")
 
@@ -582,7 +716,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming ≤ 3) via 4×16-bit pigeonhole
     banding + bit_count verification — hash-checked via the DuckDB md5
     simhash replay (banding + xor + bit_count are plain SQL)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -593,7 +727,7 @@ def q_simhash_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, so its VERIFIED pairs equal the 4×16 scheme's and the same
     DuckDB md5-simhash replay hash-checks it (dedup.simhash_candidate_pairs
     docstring has the candidate-volume math)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(
         docs, "text", "doc_id", max_hamming=3, n_blocks=6
     )
@@ -611,7 +745,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal char positions in the SQL twin."""
     from modernsearchengines_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
@@ -628,7 +762,7 @@ def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach a deterministic synthetic url per doc (the driver's documents
     table has no url column); the identical expression is replayed in SQL so
     the url-based operators are hash-checkable."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     suffix = (
         F.when(F.col("doc_id") % 23 == 0, ".jpg")
         .when(F.col("doc_id") % 29 == 0, ".png")
@@ -666,7 +800,7 @@ def q_proximity_2term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-53 (2-term case): minimal window covering one occurrence of each of
     two terms, scored 1/(span/2) like the reference min-span heap scan —
     expressible relationally for two lists as the min over position pairs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     a = toks.filter(F.col("token") == "spark").select(
         "doc_id", F.col("pos").alias("pa")
@@ -696,7 +830,7 @@ def q_minspan_proximity_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), so DuckDB verifies the UDF over every matched-set shape."""
     from modernsearchengines_spark.operators.proximity import min_span_score_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     lists = (
         toks.filter(F.col("token").isin("spark", "join", "merge"))
@@ -719,7 +853,7 @@ def q_minspan_proximity_3term(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit under the same 1/(span/3) operand order)."""
     from modernsearchengines_spark.operators.proximity import min_span_score_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     lists = (
         toks.filter(F.col("token").isin("spark", "join", "merge"))
@@ -736,7 +870,7 @@ def q_minspan_proximity_3term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-55/O-56 set union/difference over token arrays (JVM array fns)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     toks = F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
     extra = F.array(F.lit("spark"), F.lit("flink"), F.lit("trino"))
     stop = F.array(F.lit("the"), F.lit("a"))
@@ -766,28 +900,43 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation; DECIMAL-exact sums (order-independent)
     cast to DOUBLE only at the end."""
+    # No _spread (measured flat 2.04 s → 2.02 s): the 6-row-group scan's
+    # 6-way map-side decimal aggregation costs about what the extra 6M-row
+    # exchange saves; keeping the partial-agg-before-shuffle shape wins at
+    # scale (guide §2.3 "aggregate before you shuffle").
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    # Exact integer-cents arithmetic (guide §2.3 narrower types): the 2-dp
+    # decimals become longs scaled by 100, so disc_price/charge are exact
+    # long products summed on the primitive fast path instead of
+    # widened-decimal (37,4)/(38,6) products summed through BigDecimal.
+    # Values are bit-identical to the r5 decimal formulation (verified at
+    # sf 0.001/0.01/0.1/1.0): every intermediate is an exact integer and
+    # long/10^k division is correctly rounded like the decimal→double
+    # cast.  Overflow headroom: charge-cents·10⁴ ≤ ~1.2e11 per row, so a
+    # group's long sum is exact up to ~7.6e7 rows/group (≈ TPC-H sf 75);
+    # beyond that, switch the two product sums to decimal(38,0) over the
+    # same long products.
+    c100 = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+    qty_c, price_c = c100("l_quantity"), c100("l_extendedprice")
+    disc_c, tax_c = c100("l_discount"), c100("l_tax")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).alias("_sq"),
-        F.sum(dec("l_extendedprice")).alias("_sbp"),
-        F.sum(disc_price).alias("_sdp"),
-        F.sum(charge).alias("_sc"),
+        F.sum(qty_c).alias("_sq_c"),
+        F.sum(price_c).alias("_sbp_c"),
+        F.sum(price_c * (100 - disc_c)).alias("_sdp_c"),
+        F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("_sc_c"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
-        F.round(F.col("_sbp").cast("double"), 2).alias("sum_base_price"),
-        F.round(F.col("_sdp").cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.col("_sc").cast("double"), 2).alias("sum_charge"),
-        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
-        F.round(F.col("_sbp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("_sq_c") / 100.0, 2).alias("sum_qty"),
+        F.round(F.col("_sbp_c") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("_sdp_c") / 10000.0, 2).alias("sum_disc_price"),
+        F.round(F.col("_sc_c") / 1000000.0, 2).alias("sum_charge"),
+        F.round((F.col("_sq_c") / 100.0) / F.col("count_order"), 6).alias("avg_qty"),
+        F.round((F.col("_sbp_c") / 100.0) / F.col("count_order"), 6).alias("avg_price"),
         "count_order",
     )
 
@@ -795,12 +944,15 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-24/O-27 equi-join chain with broadcast dims: orders ⨝ customer ⨝
     nation → revenue per nation, top-5."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _ts(spark, sf_dir, "orders", key="o_orderkey")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     rev = (
+        # No forced broadcast on customer (VERDICT r5 item 5): it is a
+        # row-count-scaling dimension — let AQE pick the strategy from the
+        # measured size; the hint stays on the constant-size nation dim.
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == customer.c_custkey,
         )
         .join(
@@ -939,6 +1091,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch twin of the Structured
     Streaming ingest in streaming/ingest.py)."""
+    # No _spread (measured 1.0 s → 1.8 s with it): date_trunc + decimal
+    # cast are too cheap to pay a 1M-row pre-shuffle for; the map-side
+    # partial aggregation already collapses the single-task scan's output
+    # to ~3k group rows before the only exchange.
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -1023,7 +1179,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation over the events props column."""
-    events = _t(spark, sf_dir, "events")
+    events = _ts(spark, sf_dir, "events", key="event_id")
     return (
         events.withColumn(
             "k", F.get_json_object("props", "$.k").cast("int")

@@ -453,6 +453,13 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Handle to the previous round's checkpointed labels: each round
+    # materializes a NEW full label table, so without an unpersist the
+    # loop accumulates up to max_iter copies in executor storage
+    # (ADVICE r5).  The new checkpoint is eager, so dropping the old
+    # blocks after it materializes is safe.
+    prev = labels
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -490,9 +497,23 @@ def connected_components(
             )
         ).localCheckpoint()
         changed = updated.filter(F.col("_chg")).limit(1).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         labels = updated.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} before "
+            "convergence; returned labels may split true components — "
+            "raise max_iter (pointer jumping needs ~log2(diameter) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -111,7 +111,8 @@ class VocabSpellchecker:
     (retrieval.py:333-359): a KNOWN word passes through unchanged; an
     unknown word takes the most frequent known candidate at edit distance
     1, else 2, else stays as typed.  Ties break deterministically by
-    (frequency desc, word asc).  "tübingen"/"tuebingen" are force-loaded
+    (frequency desc, word desc) — the order test_tie_break_deterministic
+    pins.  "tübingen"/"tuebingen" are force-loaded
     exactly as the reference does (retrieval.py:337-338).
 
     Scale posture: correction is driver-side and O(len(word)·|alphabet|)
@@ -235,29 +236,124 @@ def cooccurrence_counts(
     per_doc_cap: int = 64,
     min_pair: int = 5,
     exclude=(),
+    distinct_pairs: bool = False,
 ):
     """Symmetric document co-occurrence counts over a (term, doc_id[, tf])
     frame — the shared core of :func:`build_synonym_table` and the
     ``synonym_votes`` contract query.
 
     Plan: df aggregation (map-side combine) → vocab_top head broadcast →
-    per-doc head-term cap by (tf desc, df desc, term asc) — one shuffle
-    by doc_id bounding the self-join to per_doc_cap²/2 pairs per doc —
-    → co-located self-equi-join on doc_id → pair counts with a
-    ``min_pair`` support floor.  Returns (term, syn, n_ab, n_1, n_2),
-    both directions of each pair, fully deterministic ordering keys.
+    per-doc head-term cap by (tf desc, df desc, term asc) — clustering by
+    doc_id bounds pair volume to per_doc_cap²/2 pairs per doc — → in-doc
+    pair enumeration (no self-join: the capped per-doc term set is
+    collected into one sorted array and the i<j combinations are emitted
+    with array higher-order functions, or as packed int keys on the
+    ``distinct_pairs`` fast path) → pair counts with a ``min_pair``
+    support floor.  Returns (term, syn, n_ab, n_1, n_2), both directions
+    of each pair, fully deterministic ordering keys.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    dfreq = pairs_src.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("n_t")
-    )
+    if distinct_pairs:
+        # Caller guarantees (term, doc_id) rows are already unique (e.g.
+        # exploded from a per-doc array_distinct): a plain count with
+        # map-side combine replaces countDistinct's extra (term, doc_id)
+        # dedup pass — identical n_t, one fewer aggregation level
+        # (guide §2.3 "aggregate before you shuffle").
+        dfreq = pairs_src.groupBy("term").agg(F.count("*").alias("n_t"))
+    else:
+        dfreq = pairs_src.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("n_t")
+        )
     if exclude:
         dfreq = dfreq.filter(~F.col("term").isin(*set(exclude)))
     head = dfreq.orderBy(F.desc("n_t"), F.asc("term")).limit(vocab_top)
 
     tf_col = "tf" if "tf" in pairs_src.columns else None
+
+    if distinct_pairs and tf_col is None:
+        # Int-indexed fast path.  With unique (term, doc_id) rows and no
+        # tf weight, the per-doc cap order (tf desc, n_t desc, term asc)
+        # collapses to (n_t desc, term asc) — exactly the head ranking —
+        # so giving every head term its dense rank ``idx`` turns the cap
+        # into "keep the ``per_doc_cap`` smallest idx" (a sorted-array
+        # slice; the row_number window disappears) and each unordered
+        # co-occurring pair into ONE packed long ``i·stride+j``.  The
+        # 10⁷-scale pair stream then flows as flat longs through a
+        # single-key hash aggregation instead of string-struct rows —
+        # same pairs, same counts, far cheaper per row (guide §2.3
+        # narrower types / §2.4 fewer shuffles).
+        w_idx = Window.partitionBy("_hp").orderBy(
+            F.desc("n_t"), F.asc("term")
+        )
+        head_idx = (
+            head.coalesce(1)
+            .withColumn("_hp", F.spark_partition_id())
+            .withColumn("idx", F.row_number().over(w_idx))
+            .drop("_hp")
+        )
+        stride = int(vocab_top) + 1
+        sel = pairs_src.join(
+            F.broadcast(head_idx.select("term", "idx")), "term"
+        ).select("doc_id", "idx")
+        ids = sel.groupBy("doc_id").agg(
+            F.slice(
+                F.sort_array(F.collect_list("idx")), 1, per_doc_cap
+            ).alias("_ids")
+        )
+        keys = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                    lambda y: x.cast("long") * stride + y,
+                ),
+            )
+        )
+        counts = (
+            ids.select(F.explode(keys).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count("*").alias("n_ab"))
+            .filter(F.col("n_ab") >= min_pair)
+            .select(
+                (F.col("_k") / stride).cast("int").alias("_i"),
+                F.pmod("_k", F.lit(stride)).cast("int").alias("_j"),
+                "n_ab",
+            )
+        )
+        both = counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_i").alias("ia"), F.col("_j").alias("ib"),
+                        F.col("n_ab").alias("n_ab"),
+                    ),
+                    F.struct(
+                        F.col("_j").alias("ia"), F.col("_i").alias("ib"),
+                        F.col("n_ab").alias("n_ab"),
+                    ),
+                )
+            ).alias("_d")
+        ).select("_d.ia", "_d.ib", "_d.n_ab")
+        ha = F.broadcast(
+            head_idx.select(
+                F.col("idx").alias("ia"), F.col("term").alias("term"),
+                F.col("n_t").alias("n_1"),
+            )
+        )
+        hb = F.broadcast(
+            head_idx.select(
+                F.col("idx").alias("ib"), F.col("term").alias("syn"),
+                F.col("n_t").alias("n_2"),
+            )
+        )
+        return (
+            both.join(ha, "ia")
+            .join(hb, "ib")
+            .select("term", "syn", "n_ab", "n_1", "n_2")
+        )
+
     p = pairs_src.select(
         "term", "doc_id",
         *([F.col(tf_col).alias("_tf")] if tf_col
@@ -272,28 +368,63 @@ def cooccurrence_counts(
         .select("term", "doc_id", "n_t")
     )
 
-    a, b = p.alias("a"), p.alias("b")
+    # Pair generation WITHOUT a self-join (guide §2.4/§3): collect the
+    # capped per-doc head terms into one sorted array (co-located — the cap
+    # window already clustered rows by doc_id, so this aggregation needs no
+    # exchange) and enumerate the i<j combinations inside the array with
+    # JVM higher-order functions.  The former a⨝b self-equi-join computed
+    # the whole capped pipeline TWICE (once per side) and broadcast-built
+    # the b side; this shape computes it once and shuffles nothing extra.
+    # sort_array makes the per-doc order deterministic (term asc — terms
+    # are unique within a doc), so pair (t1, t2) always has t1 < t2,
+    # exactly the old join's a.term < b.term predicate.
+    capped = p.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term", "n_t"))).alias("_ts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ts"), i + F.lit(2), F.size(F.col("_ts"))),
+                lambda y: F.struct(
+                    x["term"].alias("t1"), y["term"].alias("t2"),
+                    x["n_t"].alias("na"), y["n_t"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("a.term") < F.col("b.term"))
-        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        capped.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.t1").alias("t1"), F.col("_p.t2").alias("t2"))
         .agg(
             F.count("*").alias("n_ab"),
-            F.first("a.n_t").alias("n_1"),
-            F.first("b.n_t").alias("n_2"),
+            F.first("_p.na").alias("n_1"),
+            F.first("_p.nb").alias("n_2"),
         )
         .filter(F.col("n_ab") >= min_pair)
     )
+    # Emit both directions of each pair by exploding a 2-element struct
+    # array per row, NOT by unioning two projections of ``pairs``: a union
+    # duplicates the whole upstream subtree in the plan (scan → explode →
+    # df agg → cap window → self-join, all computed twice — 8 corpus scans
+    # in the synonym_votes physical plan), while the explode doubles rows
+    # in-place on the single computed subtree (guide §2.4).
     return pairs.select(
-        F.col("t1").alias("term"), F.col("t2").alias("syn"),
-        "n_ab", "n_1", "n_2",
-    ).unionByName(
-        pairs.select(
-            F.col("t2").alias("term"), F.col("t1").alias("syn"),
-            "n_ab",
-            F.col("n_2").alias("n_1"), F.col("n_1").alias("n_2"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t1").alias("term"), F.col("t2").alias("syn"),
+                    F.col("n_ab").alias("n_ab"),
+                    F.col("n_1").alias("n_1"), F.col("n_2").alias("n_2"),
+                ),
+                F.struct(
+                    F.col("t2").alias("term"), F.col("t1").alias("syn"),
+                    F.col("n_ab").alias("n_ab"),
+                    F.col("n_2").alias("n_1"), F.col("n_1").alias("n_2"),
+                ),
+            )
+        ).alias("_dir")
+    ).select("_dir.term", "_dir.syn", "_dir.n_ab", "_dir.n_1", "_dir.n_2")
 
 
 def synonym_table_to_dict(table) -> dict[str, list[str]]:

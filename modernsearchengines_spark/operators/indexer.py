@@ -766,6 +766,13 @@ def read_index(
     EXECUTION time, so the cache is materialized inside the temporary
     conf window; no shuffle is involved.  On a real cluster the same
     holds per executor core via ``defaultParallelism``.
+
+    Caveat (ADVICE r5): the conf window temporarily mutates the
+    session-global ``spark.sql.files.maxPartitionBytes``; a query planned
+    CONCURRENTLY on the same session during cache materialization would
+    inherit the serve-sized splits.  Call from the session's single
+    driver thread (every in-repo call site does), or scope it with
+    ``spark.newSession()`` if serving must overlap other planning.
     """
     from pyspark.errors import AnalysisException
 

@@ -103,3 +103,29 @@ def test_empty_pairs_passthrough(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     kept = dedup_by_components(docs, pairs, "doc_id", ["text"])
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_max_iter_exhaustion_warns(spark):
+    """A max_iter too small for the graph's diameter must not return
+    silently non-converged labels (ADVICE r5): the loop warns when it
+    exits with changes still pending."""
+    import warnings
+
+    from modernsearchengines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=1).collect()
+    assert any("max_iter" in str(w.message) for w in caught)
+    # and a sufficient max_iter stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(pairs).collect()
+    assert not any("max_iter" in str(w.message) for w in caught)
+    assert {r.component for r in labels} == {0}

@@ -132,25 +132,25 @@ def test_minhash_default_token_ids_have_no_global_window(spark, docs_df):
 
 
 def test_bm25_topk_filters_terms_before_tf_shuffle(spark):
-    """r5 shape lock: the tf aggregation's shuffle must carry only rows
-    surviving the broadcast term filter (4 query terms), never the full
-    corpus vocabulary, and dl must come from size(split()) on a narrow
-    scan — no explode+groupBy pass for document length."""
+    """r6 shape lock: tf/dl are per-row array expressions over the token
+    split — the plan must contain NO Generate (explode) node and NO
+    (doc_id, token) aggregation exchange; the only join is the 1-row
+    corpus-stats broadcast and the top-k is a TakeOrderedAndProject."""
     df = entrymod.q_bm25_topk(spark, SF_DIR)
     plan = formatted_plan(df)
-    # terms (and the tiny df frame) arrive by broadcast
-    assert uses_broadcast_join(df)
-    # the generate (explode) feeds a broadcast-hash-join BEFORE any
-    # exchange: no "Exchange hashpartitioning" may appear between the
-    # Generate node and the first BroadcastHashJoin in the tf subtree.
-    gen_pos = plan.find("Generate")
-    bhj_pos = plan.find("BroadcastHashJoin")
-    assert gen_pos != -1 and bhj_pos != -1
-    segment = plan[min(gen_pos, bhj_pos): max(gen_pos, bhj_pos)]
-    assert "Exchange hashpartitioning" not in segment, segment
-    # the tf subtree feeds BOTH the df aggregation and the scored join;
-    # at runtime AQE must collapse the twin into ONE exchange (the
-    # explicit isnotnull(doc_id) keeps the two copies plan-identical)
+    # the 1-row stats frame arrives by broadcast (nested-loop cross join)
+    assert "BroadcastExchange" in plan
+    # no exploded token stream anywhere
+    assert "Generate" not in plan, plan[:2000]
+    # the only hash-partitioned exchange allowed is the input-skew spread
+    # repartition (REPARTITION_BY_COL); no aggregation may shuffle
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "REPARTITION_BY_COL" in ln, ln
+    # stats and scoring both read the checkpointed feature frame (narrow
+    # ints, computed once); the executed plan must stay Generate-free and
+    # keep the partial top-k
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    assert "Generate" not in executed
+    assert "TakeOrderedAndProject" in executed

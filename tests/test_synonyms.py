@@ -80,3 +80,28 @@ def test_per_doc_cap_bounds_pairs(spark, index):
     # still runs and produces a table; the cap only shrinks support
     rows = capped.collect()
     assert all(1 <= len(r.synonyms) <= 5 for r in rows)
+
+
+def test_distinct_pairs_fast_path_matches_general_path(spark):
+    """The int-indexed distinct_pairs fast path must emit exactly the rows
+    of the general (windowed, struct-pair) path on an already-distinct
+    (term, doc_id) input — same pairs, same counts, same n_1/n_2."""
+    from modernsearchengines_spark.operators.expansion import (
+        cooccurrence_counts,
+    )
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for d in range(30):
+        for i, w in enumerate(words):
+            if (d + i) % 2 == 0 or d % 5 == i:
+                rows.append((d, w))
+    src = spark.createDataFrame(rows, "doc_id long, term string")
+    kw = dict(vocab_top=5, per_doc_cap=3, min_pair=2)
+    fast = cooccurrence_counts(src, distinct_pairs=True, **kw)
+    slow = cooccurrence_counts(src, distinct_pairs=False, **kw)
+    key = lambda r: (r["term"], r["syn"])
+    f = {key(r): (r["n_ab"], r["n_1"], r["n_2"]) for r in fast.collect()}
+    s = {key(r): (r["n_ab"], r["n_1"], r["n_2"]) for r in slow.collect()}
+    assert f == s
+    assert f, "fixture must produce co-occurring pairs"

@@ -130,8 +130,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-locally and TakeOrderedAndProject bounds it to k.  The only data
     movement in the whole query is the 1-row stats broadcast and the
     ≤ k-row top-k merge (guide §2.4: remove shuffles outright).  tf / df /
-    dl / avgdl / score values are bit-identical to the r5 explode+agg
-    formulation (same doubles, deterministic term order)."""
+    dl / avgdl and each per-term bm25 double are bit-identical to the r5
+    explode+agg formulation; the disjunctive sum adds them in fixed term
+    order where r5's aggregation order was partition-arrival — both agree
+    with the DuckDB oracle under the round-6 score contract
+    (hash-verified at sf 0.001/0.01/0.1/1.0)."""
     raw = _t(spark, sf_dir, "documents")
     n_docs = raw.count()  # metadata-only count on the unspread scan
     docs = _spread(

@@ -410,6 +410,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup pair graph → (id, component): component = min id reachable.
 
@@ -437,21 +438,31 @@ def connected_components(
     Input rows are undirected pairs (symmetrized internally, self-loops
     ignored).  Singletons never appear in ``pairs`` and therefore not in
     the output — :func:`dedup_by_components` passes them through.
+
+    ``reliable=True`` (VERDICT r5 item 6) uses ``DataFrame.checkpoint()``
+    against ``spark.sparkContext.setCheckpointDir`` instead of
+    ``localCheckpoint()``: local checkpoint blocks live in executor
+    storage and are LOST on executor failure — fine in local mode, a
+    rerun-from-zero mid-loop on a real cluster.  The caller must set a
+    checkpoint dir first (any Hadoop scheme) and owns its lifecycle
+    (Spark does not clean reliable checkpoint files by default).
     """
-    edges = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
     )
     # Handle to the previous round's checkpointed labels: each round
     # materializes a NEW full label table, so without an unpersist the
@@ -495,7 +506,8 @@ def connected_components(
                     "_chg"
                 ),
             )
-        ).localCheckpoint()
+        )
+        updated = _ckpt(updated)
         changed = updated.filter(F.col("_chg")).limit(1).count()
         if prev is not None:
             prev.unpersist()

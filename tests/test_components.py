@@ -129,3 +129,28 @@ def test_max_iter_exhaustion_warns(spark):
         labels = connected_components(pairs).collect()
     assert not any("max_iter" in str(w.message) for w in caught)
     assert {r.component for r in labels} == {0}
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """reliable=True routes every per-round checkpoint through
+    DataFrame.checkpoint() against the session checkpoint dir (VERDICT r5
+    item 6: localCheckpoint blocks die with an executor on a real
+    cluster); components must equal the local-mode result."""
+    from modernsearchengines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    rel = {(r.id, r.component)
+           for r in connected_components(pairs, reliable=True).collect()}
+    loc = {(r.id, r.component)
+           for r in connected_components(pairs).collect()}
+    assert rel == loc
+    assert {c for _, c in rel} == {0, 20}
+    # checkpoint files actually landed in the reliable dir
+    import os
+    assert any(os.scandir(str(tmp_path / "ckpt")))
